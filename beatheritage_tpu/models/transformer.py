@@ -1,0 +1,399 @@
+"""Whisper-style encoder-decoder with RoPE, as pure functions over pytrees.
+
+TPU-native re-design of the reference's Mapperatorinator + RoPEWhisper
+backbone (reference: osuT5/osuT5/model/modeling_mapperatorinator.py:42,
+custom_transformers/modeling_ropewhisper.py:1115/1277):
+
+- encoder: mel frames (+ broadcast conditioning embeds) -> optional linear
+  projection -> conv1(k3) GELU -> conv2(k3, stride 2) GELU -> pre-LN
+  transformer layers with rotary self-attention -> final LN
+- decoder: external token embedding (input vocab) -> pre-LN layers with
+  causal rotary self-attention + cross-attention -> final LN -> lm head
+  (output vocab)
+- layers are stored stacked (leading layer axis) and applied with lax.scan,
+  which keeps compile time flat in depth and XLA fusion-friendly
+- incremental decode reuses the same layer weights with a preallocated KV
+  cache (see decode.engine)
+
+Weights live in plain nested dicts; bias layout matches Whisper (q/v/out
+proj biased, k proj unbiased) to keep PyTorch checkpoint conversion a pure
+rename.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention, merge_heads, split_heads
+from ..ops.mel import mel_from_config
+from ..ops.rope import apply_rope, rope_cos_sin
+from .embedders import (
+    apply_difficulty_embedder,
+    apply_label_embedder,
+    apply_mapper_embedder,
+    apply_song_position_embedder,
+    init_difficulty_embedder,
+    init_label_embedder,
+    init_mapper_embedder,
+    init_song_position_embedder,
+    layer_norm,
+)
+
+LABEL_IGNORE_ID = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDims:
+    """Static model dimensions resolved from (TrainConfig, Tokenizer)."""
+
+    d_model: int
+    num_heads: int
+    d_ff: int
+    encoder_layers: int
+    decoder_layers: int
+    n_mels: int
+    cond_size: int
+    cond_dim: int
+    vocab_size_in: int
+    vocab_size_out: int
+    num_classes: int
+    num_mappers: int
+    rope_theta: float
+    max_source_positions: int
+    max_target_positions: int
+    rope_type: str
+    rope_encoder_scaling: float
+    rope_decoder_scaling: float
+    project_encoder_input: bool
+    do_style_embed: bool
+    do_difficulty_embed: bool
+    do_mapper_embed: bool
+    do_song_position_embed: bool
+    rhythm_token_start: int
+    rhythm_token_end: int
+    rhythm_weight: float
+    label_smoothing: float
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @property
+    def encoder_input_dim(self) -> int:
+        return self.n_mels + self.cond_size
+
+    @classmethod
+    def from_config(cls, cfg, tokenizer) -> "ModelDims":
+        from ..events import EventType  # noqa: PLC0415
+        a = cfg.model.arch
+        return cls(
+            d_model=a.d_model, num_heads=a.num_heads, d_ff=a.d_ff,
+            encoder_layers=a.encoder_layers, decoder_layers=a.decoder_layers,
+            n_mels=cfg.model.spectrogram.n_mels, cond_size=cfg.model.cond_size,
+            cond_dim=cfg.model.cond_dim,
+            vocab_size_in=tokenizer.vocab_size_in,
+            vocab_size_out=tokenizer.vocab_size_out,
+            num_classes=tokenizer.num_classes,
+            num_mappers=tokenizer.num_mapper_classes,
+            rope_theta=a.rope_theta,
+            max_source_positions=cfg.data.src_seq_len // 2,
+            max_target_positions=cfg.data.tgt_seq_len,
+            rope_type=cfg.model.rope_type,
+            rope_encoder_scaling=cfg.model.rope_encoder_scaling_factor,
+            rope_decoder_scaling=cfg.model.rope_decoder_scaling_factor,
+            project_encoder_input=cfg.model.project_encoder_input,
+            do_style_embed=cfg.model.do_style_embed,
+            do_difficulty_embed=cfg.model.do_difficulty_embed,
+            do_mapper_embed=cfg.model.do_mapper_embed,
+            do_song_position_embed=cfg.model.do_song_position_embed,
+            rhythm_token_start=tokenizer.event_start[EventType.TIME_SHIFT],
+            rhythm_token_end=tokenizer.event_end[EventType.TIME_SHIFT],
+            rhythm_weight=cfg.data.rhythm_weight,
+            label_smoothing=cfg.data.label_smoothing,
+        )
+
+
+# -- initialization -------------------------------------------------------------
+
+def _dense(key, d_in, d_out, std=0.02, bias=True):
+    p = {"w": jax.random.normal(key, (d_in, d_out)) * std}
+    if bias:
+        p["b"] = jnp.zeros(d_out)
+    return p
+
+
+def _ln(d):
+    return {"g": jnp.ones(d), "b": jnp.zeros(d)}
+
+
+def _init_attn(key, d, std, cross=False):
+    ks = jax.random.split(key, 4)
+    prefix = "x" if cross else ""
+    return {
+        f"{prefix}q": _dense(ks[0], d, d, std),
+        f"{prefix}k": _dense(ks[1], d, d, std, bias=False),
+        f"{prefix}v": _dense(ks[2], d, d, std),
+        f"{prefix}o": _dense(ks[3], d, d, std),
+    }
+
+
+def _init_encoder_layer(key, dims: ModelDims, std=0.02):
+    k_attn, k_ff1, k_ff2 = jax.random.split(key, 3)
+    return {
+        "ln1": _ln(dims.d_model),
+        **_init_attn(k_attn, dims.d_model, std),
+        "ln2": _ln(dims.d_model),
+        "ff1": _dense(k_ff1, dims.d_model, dims.d_ff, std),
+        "ff2": _dense(k_ff2, dims.d_ff, dims.d_model, std),
+    }
+
+
+def _init_decoder_layer(key, dims: ModelDims, std=0.02):
+    k_self, k_cross, k_ff1, k_ff2 = jax.random.split(key, 4)
+    return {
+        "ln1": _ln(dims.d_model),
+        **_init_attn(k_self, dims.d_model, std),
+        "ln2": _ln(dims.d_model),
+        **_init_attn(k_cross, dims.d_model, std, cross=True),
+        "ln3": _ln(dims.d_model),
+        "ff1": _dense(k_ff1, dims.d_model, dims.d_ff, std),
+        "ff2": _dense(k_ff2, dims.d_ff, dims.d_model, std),
+    }
+
+
+def init_params(key, dims: ModelDims, std: float = 0.02) -> dict:
+    keys = jax.random.split(key, 12)
+    enc_layer_keys = jax.random.split(keys[0], dims.encoder_layers)
+    dec_layer_keys = jax.random.split(keys[1], dims.decoder_layers)
+
+    params = {
+        "encoder": {
+            "conv1": {"w": jax.random.normal(keys[2], (3, dims.d_model if dims.project_encoder_input else dims.encoder_input_dim, dims.d_model)) * std,
+                      "b": jnp.zeros(dims.d_model)},
+            "conv2": {"w": jax.random.normal(keys[3], (3, dims.d_model, dims.d_model)) * std,
+                      "b": jnp.zeros(dims.d_model)},
+            "layers": jax.vmap(lambda k: _init_encoder_layer(k, dims, std))(enc_layer_keys),
+            "lnf": _ln(dims.d_model),
+        },
+        "decoder": {
+            "layers": jax.vmap(lambda k: _init_decoder_layer(k, dims, std))(dec_layer_keys),
+            "lnf": _ln(dims.d_model),
+        },
+        "dec_embed": jax.random.normal(keys[4], (dims.vocab_size_in, dims.d_model)) * std,
+        "lm_head": jax.random.normal(keys[5], (dims.d_model, dims.vocab_size_out)) * std,
+        "cond": {},
+    }
+    if dims.project_encoder_input:
+        params["enc_proj"] = _dense(keys[6], dims.encoder_input_dim, dims.d_model, std)
+    if dims.do_style_embed:
+        params["cond"]["style"] = init_label_embedder(keys[7], dims.num_classes, dims.d_model, std)
+    if dims.do_difficulty_embed:
+        params["cond"]["difficulty"] = init_difficulty_embedder(keys[8], dims.cond_dim)
+    if dims.do_mapper_embed:
+        params["cond"]["mapper"] = init_mapper_embedder(keys[9], dims.num_mappers, dims.cond_dim)
+    if dims.do_song_position_embed:
+        params["cond"]["song_pos"] = init_song_position_embedder(keys[10], dims.cond_dim)
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+               if hasattr(p, "shape"))
+
+
+# -- building blocks --------------------------------------------------------------
+
+def _linear(x, p):
+    out = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def _conv1d(x, p, stride=1):
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride,), [(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out + p["b"].astype(x.dtype)
+
+
+def _self_attention(layer, x, cos, sin, num_heads, *, is_causal, mask=None,
+                    use_flash=False):
+    q = split_heads(_linear(x, layer["q"]), num_heads)
+    k = split_heads(_linear(x, layer["k"]), num_heads)
+    v = split_heads(_linear(x, layer["v"]), num_heads)
+    q, k = apply_rope(q, k, cos, sin)
+    out = dot_product_attention(q, k, v, is_causal=is_causal, mask=mask,
+                                use_flash=use_flash)
+    return _linear(merge_heads(out), layer["o"])
+
+
+def _ffn(layer, x):
+    return _linear(jax.nn.gelu(_linear(x, layer["ff1"]), approximate=False),
+                   layer["ff2"])
+
+
+# -- encoder ---------------------------------------------------------------------
+
+def build_condition_vector(params, dims: ModelDims, batch: int,
+                           difficulty=None, mapper_idx=None, song_position=None,
+                           dtype=jnp.float32) -> Optional[jnp.ndarray]:
+    """Concatenated conditioning embeds (B, cond_size) in declaration order
+    (difficulty, mapper, song position), matching the reference's conds list
+    (modeling_mapperatorinator.py:149-166). Unknowns default to sentinels."""
+    conds = []
+    if dims.do_difficulty_embed:
+        d = difficulty if difficulty is not None else jnp.full((batch,), -1.0)
+        conds.append(apply_difficulty_embedder(params["cond"]["difficulty"], d))
+    if dims.do_mapper_embed:
+        m = mapper_idx if mapper_idx is not None else jnp.full((batch,), -1, jnp.int32)
+        conds.append(apply_mapper_embedder(params["cond"]["mapper"], m))
+    if dims.do_song_position_embed:
+        sp = song_position if song_position is not None else jnp.zeros((batch, 2))
+        conds.append(apply_song_position_embedder(params["cond"]["song_pos"], sp))
+    if not conds:
+        return None
+    return jnp.concatenate(conds, axis=-1).astype(dtype)
+
+
+def encode(params, dims: ModelDims, cfg, audio: jnp.ndarray, *,
+           beatmap_idx=None, difficulty=None, mapper_idx=None,
+           song_position=None, dtype=jnp.bfloat16,
+           use_flash: bool = False) -> jnp.ndarray:
+    """Raw audio (B, n_samples) -> encoder hidden states (B, S/2, D)."""
+    mel = mel_from_config(audio, cfg.model.spectrogram, dtype=dtype)  # (B,S,M)
+    b, s, _ = mel.shape
+
+    feats = [mel]
+    if dims.do_style_embed:
+        idx = beatmap_idx if beatmap_idx is not None else jnp.full((b,), dims.num_classes, jnp.int32)
+        style = apply_label_embedder(params["cond"]["style"], idx).astype(dtype)
+        feats.append(jnp.broadcast_to(style[:, None, :], (b, s, style.shape[-1])))
+    cond_vec = build_condition_vector(params, dims, b, difficulty, mapper_idx,
+                                      song_position, dtype)
+    if cond_vec is not None:
+        feats.append(jnp.broadcast_to(cond_vec[:, None, :], (b, s, cond_vec.shape[-1])))
+    x = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else mel
+
+    if dims.project_encoder_input:
+        x = _linear(x, params["enc_proj"])
+
+    x = jax.nn.gelu(_conv1d(x, params["encoder"]["conv1"]), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["encoder"]["conv2"], stride=2), approximate=False)
+
+    t_enc = x.shape[1]
+    positions = jnp.arange(t_enc)
+    cos, sin = rope_cos_sin(
+        positions, dims.head_dim, theta=dims.rope_theta, seq_len=t_enc,
+        max_position_embeddings=dims.max_source_positions,
+        scaling_factor=dims.rope_encoder_scaling, rope_type=dims.rope_type,
+        dtype=dtype)
+
+    def layer_fn(h, layer):
+        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+                                cos, sin, dims.num_heads, is_causal=False,
+                                use_flash=use_flash)
+        h = h + _ffn(layer, layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"]))
+        return h, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["encoder"]["layers"])
+    lnf = params["encoder"]["lnf"]
+    return layer_norm(x, lnf["g"], lnf["b"])
+
+
+# -- decoder (teacher-forced) -----------------------------------------------------
+
+def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
+                 enc_hidden: jnp.ndarray, *,
+                 decoder_attention_mask: Optional[jnp.ndarray] = None,
+                 encoder_attention_mask: Optional[jnp.ndarray] = None,
+                 dtype=jnp.bfloat16, use_flash: bool = False) -> jnp.ndarray:
+    """Teacher-forced decode: token ids (B, T) -> logits (B, T, vocab_out)."""
+    x = params["dec_embed"].astype(dtype)[decoder_input_ids]
+    t = x.shape[1]
+    cos, sin = rope_cos_sin(
+        jnp.arange(t), dims.head_dim, theta=dims.rope_theta, seq_len=t,
+        max_position_embeddings=dims.max_target_positions,
+        scaling_factor=dims.rope_decoder_scaling, rope_type=dims.rope_type,
+        dtype=dtype)
+
+    self_mask = None
+    if decoder_attention_mask is not None:
+        self_mask = decoder_attention_mask[:, None, None, :].astype(bool)
+    cross_mask = None
+    if encoder_attention_mask is not None:
+        cross_mask = encoder_attention_mask[:, None, None, :].astype(bool)
+
+    enc = enc_hidden.astype(dtype)
+
+    def layer_fn(h, layer):
+        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+                                cos, sin, dims.num_heads, is_causal=True,
+                                mask=self_mask, use_flash=use_flash)
+        hn = layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"])
+        q = split_heads(_linear(hn, layer["xq"]), dims.num_heads)
+        k = split_heads(_linear(enc, layer["xk"]), dims.num_heads)
+        v = split_heads(_linear(enc, layer["xv"]), dims.num_heads)
+        cross = dot_product_attention(q, k, v, mask=cross_mask, use_flash=use_flash)
+        h = h + _linear(merge_heads(cross), layer["xo"])
+        h = h + _ffn(layer, layer_norm(h, layer["ln3"]["g"], layer["ln3"]["b"]))
+        return h, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["decoder"]["layers"])
+    lnf = params["decoder"]["lnf"]
+    x = layer_norm(x, lnf["g"], lnf["b"])
+    return (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
+
+
+def forward(params, dims: ModelDims, cfg, audio, decoder_input_ids, *,
+            decoder_attention_mask=None, beatmap_idx=None, difficulty=None,
+            mapper_idx=None, song_position=None, dtype=jnp.bfloat16,
+            use_flash: bool = False) -> jnp.ndarray:
+    """Full seq2seq forward: audio + decoder ids -> logits."""
+    enc = encode(params, dims, cfg, audio, beatmap_idx=beatmap_idx,
+                 difficulty=difficulty, mapper_idx=mapper_idx,
+                 song_position=song_position, dtype=dtype, use_flash=use_flash)
+    return decode_train(params, dims, decoder_input_ids, enc,
+                        decoder_attention_mask=decoder_attention_mask,
+                        dtype=dtype, use_flash=use_flash)
+
+
+# -- loss --------------------------------------------------------------------------
+
+def rhythm_class_weights(dims: ModelDims) -> jnp.ndarray:
+    w = np.ones(dims.vocab_size_out, dtype=np.float32)
+    w[dims.rhythm_token_start:dims.rhythm_token_end] = dims.rhythm_weight
+    return jnp.asarray(w)
+
+
+def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           class_weights: jnp.ndarray,
+                           label_smoothing: float = 0.0,
+                           sample_weights: Optional[jnp.ndarray] = None
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rhythm-weighted CE with ignore-id masking, matching torch
+    nn.CrossEntropyLoss(weight, ignore_index=-100, label_smoothing)
+    (reference: modeling_mapperatorinator.py:110-117,188-192).
+
+    Returns (loss, n_valid_tokens). logits (B,T,V) f32, labels (B,T) int.
+    """
+    vocab = logits.shape[-1]
+    valid = labels != LABEL_IGNORE_ID
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    w_label = class_weights[safe_labels]  # torch weights by target class
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -logp.mean(axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    loss_tok = nll * w_label * valid
+    if sample_weights is not None:
+        loss_tok = loss_tok * sample_weights[:, None]
+    # reference divides the weighted sum by the raw count of valid labels
+    return loss_tok.sum() / jnp.maximum(valid.sum(), 1), valid.sum()

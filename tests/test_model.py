@@ -1,0 +1,138 @@
+"""Model + ops tests (CPU, virtual devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beatheritage_tpu.config import TrainConfig, load_config
+from beatheritage_tpu.models import (
+    LABEL_IGNORE_ID,
+    ModelDims,
+    decode_train,
+    encode,
+    forward,
+    init_params,
+    param_count,
+    rhythm_class_weights,
+    weighted_cross_entropy,
+)
+from beatheritage_tpu.ops import mel_spectrogram, rope_cos_sin, apply_rope
+from beatheritage_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(TrainConfig, "train", "tiny")
+    tok = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tok)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    return cfg, tok, dims, params
+
+
+def test_mel_spectrogram_shape_and_fft_parity():
+    x = np.random.default_rng(0).standard_normal((2, 16000)).astype(np.float32)
+    m1 = mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80, hop_length=128,
+                         f_min=20, f_max=8000, stft="fft", log_scale=True)
+    m2 = mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80, hop_length=128,
+                         f_min=20, f_max=8000, stft="matmul", log_scale=True)
+    assert m1.shape == (2, 16000 // 128 + 1, 80)
+    # matmul path accumulates the real DFT in f32; ~0.5% typical deviation
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=5e-2, rtol=3e-2)
+
+
+def test_mel_pure_tone_lands_in_right_bin():
+    sr, f = 16000, 440.0
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * f * t).astype(np.float32)[None]
+    m = np.asarray(mel_spectrogram(jnp.asarray(x), sample_rate=sr, n_fft=1024,
+                                   n_mels=80, hop_length=128, f_min=20, f_max=8000))
+    from beatheritage_tpu.ops.mel import hz_to_mel, mel_to_hz
+    peak_mel_bin = m[0, 20].argmax()
+    # invert: mel bin centers
+    m_pts = np.linspace(hz_to_mel(20), hz_to_mel(8000), 82)
+    centre_hz = mel_to_hz(m_pts[peak_mel_bin + 1])
+    assert abs(centre_hz - f) < 100  # within a bin width
+
+
+def test_rope_rotation_preserves_norm_and_relativity():
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 16))
+    k = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 16))
+    cos, sin = rope_cos_sin(jnp.arange(8), 16)
+    q2, k2 = apply_rope(q, k, cos, sin)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q2), axis=-1),
+                               np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5)
+    # relative property: scores depend only on position difference
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q2), np.asarray(k2))
+    cos2, sin2 = rope_cos_sin(jnp.arange(2, 10), 16)
+    q3, k3 = apply_rope(q, k, cos2, sin2)
+    s2 = np.einsum("bhqd,bhkd->bhqk", np.asarray(q3), np.asarray(k3))
+    np.testing.assert_allclose(np.diagonal(s, axis1=2, axis2=3),
+                               np.diagonal(s2, axis1=2, axis2=3), atol=1e-4)
+
+
+def test_encoder_shapes(setup):
+    cfg, tok, dims, params = setup
+    audio = jnp.zeros((2, cfg.data.src_seq_len * cfg.data.hop_length - cfg.data.hop_length))
+    enc = encode(params, dims, cfg, audio, dtype=jnp.float32)
+    assert enc.shape == (2, cfg.data.src_seq_len // 2, dims.d_model)
+    assert not np.any(np.isnan(np.asarray(enc)))
+
+
+def test_forward_logits_shape_and_grad(setup):
+    cfg, tok, dims, params = setup
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, (cfg.data.src_seq_len - 1) * cfg.data.hop_length))
+    ids = jnp.ones((2, 16), dtype=jnp.int32)
+    logits = forward(params, dims, cfg, audio, ids, dtype=jnp.float32)
+    assert logits.shape == (2, 16, tok.vocab_size_out)
+    assert logits.dtype == jnp.float32
+
+    labels = jnp.where(jnp.arange(16)[None, :] < 12, ids, LABEL_IGNORE_ID)
+    cw = rhythm_class_weights(dims)
+
+    def loss_fn(p):
+        lg = forward(p, dims, cfg, audio, ids, dtype=jnp.float32)
+        loss, _ = weighted_cross_entropy(lg, labels, cw)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
+def test_causal_masking(setup):
+    """Future decoder tokens must not influence earlier logits."""
+    cfg, tok, dims, params = setup
+    enc = jax.random.normal(jax.random.PRNGKey(3), (1, 8, dims.d_model))
+    ids1 = jnp.array([[1, 5, 6, 7]], dtype=jnp.int32)
+    ids2 = jnp.array([[1, 5, 6, 9]], dtype=jnp.int32)  # differ at last pos
+    l1 = decode_train(params, dims, ids1, enc, dtype=jnp.float32)
+    l2 = decode_train(params, dims, ids2, enc, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1[:, :3]), np.asarray(l2[:, :3]), atol=1e-5)
+    assert not np.allclose(np.asarray(l1[:, 3]), np.asarray(l2[:, 3]))
+
+
+def test_weighted_ce_semantics():
+    logits = jnp.zeros((1, 4, 10))
+    labels = jnp.array([[1, 2, 3, LABEL_IGNORE_ID]])
+    cw = jnp.ones(10).at[2].set(3.0)
+    loss, n = weighted_cross_entropy(logits, labels, cw)
+    # uniform logits: nll = log(10) per token; weights 1,3,1 over 3 valid
+    expected = np.log(10) * (1 + 3 + 1) / 3
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+    assert int(n) == 3
+
+
+def test_param_count_reasonable(setup):
+    cfg, tok, dims, params = setup
+    n = param_count(params)
+    assert 100_000 < n < 5_000_000  # tiny model
+
+
+def test_bf16_forward_finite(setup):
+    cfg, tok, dims, params = setup
+    audio = jax.random.normal(jax.random.PRNGKey(0), (1, (cfg.data.src_seq_len - 1) * cfg.data.hop_length))
+    ids = jnp.ones((1, 8), dtype=jnp.int32)
+    logits = forward(params, dims, cfg, audio, ids, dtype=jnp.bfloat16)
+    assert np.all(np.isfinite(np.asarray(logits, dtype=np.float32)))
