@@ -1,0 +1,306 @@
+"""Jitted autoregressive decode engine.
+
+TPU-native replacement for the reference's HF `GenerationMixin.generate`
+sampling loop + StaticCache (reference: server.py:40 model_generate,
+cache_utils.py:24). The whole loop — prefill, per-step decoder forward with a
+preallocated KV cache, CFG folding, the constrained-sampling rule chain,
+top-k/top-p sampling, and multi-EOS termination — compiles to ONE XLA
+program driven by `lax.while_loop`; no host round-trips per token.
+
+Layout conventions:
+- prompts are LEFT-padded to a fixed length P (like the reference's batching
+  server, server.py:230-299), with RoPE positions taken from the per-row
+  non-pad count so padding is position-transparent;
+- with CFG enabled the model batch is 2B: rows [0:B] conditional, rows
+  [B:2B] negative-prompted; sampled tokens are appended to both halves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import ModelDims
+from ..ops.attention import NEG_INF, merge_heads, split_heads
+from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.sampling import (
+    apply_repetition_penalty,
+    apply_top_k,
+    apply_top_p,
+    sample_token,
+)
+from .kv_cache import init_self_cache, precompute_cross_kv
+from .logit_rules import (
+    conditional_temperature,
+    fold_cfg,
+    lookback_bias,
+    monotonic_timeshift_mask,
+    timeshift_bias,
+)
+from .tables import MILISECONDS_PER_STEP, TokenTables
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerSettings:
+    """Static sampling configuration (hashable; part of the jit cache key)."""
+
+    temperature: float = 1.0
+    timing_temperature: float = 1.0
+    mania_column_temperature: float = 1.0
+    taiko_hit_temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    repetition_penalty: float = 1.0
+    timeshift_bias: float = 0.0
+    cfg_scale: float = 1.0
+    types_first: bool = True
+    do_sample: bool = True
+    lookback_time: float = 0.0
+    lookahead_time: float = 0.0
+
+    @property
+    def cfg_on(self) -> bool:
+        return self.cfg_scale > 1.0
+
+
+# -- cached decoder forward -----------------------------------------------------
+
+def _ln(x, p):
+    from ..models.embedders import layer_norm  # noqa: PLC0415
+    return layer_norm(x, p["g"], p["b"])
+
+
+def _lin(x, p):
+    out = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
+                           cache: dict, cross_k: jnp.ndarray,
+                           cross_v: jnp.ndarray, positions: jnp.ndarray,
+                           slot_start, kv_valid: jnp.ndarray,
+                           rope_seq_len: int, dtype=jnp.bfloat16,
+                           cross_mask: Optional[jnp.ndarray] = None
+                           ) -> tuple[jnp.ndarray, dict]:
+    """Run the decoder on a chunk of C tokens, reading/writing the KV cache.
+
+    token_ids (B, C); positions (B, C) absolute RoPE positions; slot_start is
+    the first cache slot this chunk occupies; kv_valid (B, T_max) marks
+    attendable slots (False on left padding). Works for both the prompt
+    prefill (C=P) and single-token steps (C=1).
+    """
+    b, c = token_ids.shape
+    t_max = cache["k"].shape[3]
+    x = params["dec_embed"].astype(dtype)[token_ids]
+
+    cos, sin = rope_cos_sin(
+        positions, dims.head_dim, theta=dims.rope_theta, seq_len=rope_seq_len,
+        max_position_embeddings=dims.max_target_positions,
+        scaling_factor=dims.rope_decoder_scaling, rope_type=dims.rope_type,
+        dtype=dtype)
+    cos = cos[:, None]  # (B, 1, C, Dh) broadcasting over heads
+    sin = sin[:, None]
+
+    # slot j attendable by query i iff valid and j <= slot_start + i
+    slots = jnp.arange(t_max)[None, None, None, :]
+    qidx = jnp.arange(c)[None, None, :, None]
+    causal = slots <= (slot_start + qidx)
+    self_mask = causal & kv_valid[:, None, None, :]
+
+    def layer_fn(x, xs):
+        layer, k_cache, v_cache, ck, cv = xs
+        # self-attention with cache write
+        h = _ln(x, layer["ln1"])
+        q = split_heads(_lin(h, layer["q"]), dims.num_heads)
+        k = split_heads(_lin(h, layer["k"]), dims.num_heads)
+        v = split_heads(_lin(h, layer["v"]), dims.num_heads)
+        q, k = apply_rope(q, k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, slot_start, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, slot_start, 0))
+        scale = dims.head_dim ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(self_mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_cache,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + _lin(merge_heads(attn), layer["o"])
+
+        # cross-attention against precomputed encoder K/V
+        h = _ln(x, layer["ln2"])
+        xq = split_heads(_lin(h, layer["xq"]), dims.num_heads)
+        xl = jnp.einsum("bhqd,bhkd->bhqk", xq, ck,
+                        preferred_element_type=jnp.float32) * scale
+        if cross_mask is not None:
+            xl = jnp.where(cross_mask[:, None, None, :], xl, NEG_INF)
+        xp = jax.nn.softmax(xl, axis=-1).astype(cv.dtype)
+        xa = jnp.einsum("bhqk,bhkd->bhqd", xp, cv,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + _lin(merge_heads(xa), layer["xo"])
+
+        # feed-forward
+        h = _ln(x, layer["ln3"])
+        x = x + _lin(jax.nn.gelu(_lin(h, layer["ff1"]), approximate=False), layer["ff2"])
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["decoder"]["layers"], cache["k"], cache["v"],
+                      cross_k, cross_v))
+    x = _ln(x, params["decoder"]["lnf"])
+    logits = (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+# -- prompt-derived sampling state ------------------------------------------------
+
+def _prompt_monotonic_state(prompt, prompt_mask, tables: TokenTables):
+    """Vectorized recovery of (last_ts_value, has_ts) from the prompt,
+    matching the reference's full-sequence scan (logit_processors.py:143-170)."""
+    b, p = prompt.shape
+    idx = jnp.arange(p)[None, :]
+    is_ts = (prompt >= tables.time_start) & (prompt < tables.time_end) & prompt_mask
+    is_sos = jnp.isin(prompt, jnp.asarray(tables.sos_ids)) & prompt_mask
+    last_ts_idx = jnp.max(jnp.where(is_ts, idx, -1), axis=1)
+    last_sos_idx = jnp.max(jnp.where(is_sos, idx, -1), axis=1)
+    has_ts = (last_ts_idx != -1) & (last_ts_idx > last_sos_idx)
+    gathered = prompt[jnp.arange(b), jnp.clip(last_ts_idx, 0, p - 1)]
+    last_ts = jnp.where(has_ts, gathered - tables.time_start, 0)
+    return last_ts.astype(jnp.int32), has_ts
+
+
+# -- the generation loop ----------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "settings", "tables", "max_len", "dtype"))
+def generate(params, dims: ModelDims, settings: SamplerSettings,
+             tables: TokenTables, enc_hidden: jnp.ndarray,
+             prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
+             eos_mask: jnp.ndarray, key: jax.Array, *, max_len: int,
+             dtype=jnp.bfloat16,
+             enc_mask: Optional[jnp.ndarray] = None):
+    """Generate until EOS or `max_len` total positions.
+
+    enc_hidden (Bm, S, D), prompt (Bm, P) left-padded, prompt_mask (Bm, P);
+    Bm = 2B when settings.cfg_on (rows [0:B] conditional). eos_mask is a
+    (V,) bool array of terminating ids (tables.eos_token_mask).
+
+    Returns dict with tokens (B, max_len), prompt lengths, final length, and
+    finished flags (conditional half only).
+    """
+    bm, p_len = prompt.shape
+    b = bm // 2 if settings.cfg_on else bm
+    lookback_tokens = int(settings.lookback_time / MILISECONDS_PER_STEP)
+    lookback_mask = np.zeros(tables.vocab_size_out, dtype=bool)
+    lookback_mask[tables.time_start:tables.time_start + lookback_tokens] = True
+    lookback_mask = jnp.asarray(lookback_mask)
+    timed_mask = jnp.asarray(tables.timed_token_mask)
+
+    cache = init_self_cache(dims, bm, max_len, dtype)
+    cross_k, cross_v = precompute_cross_kv(params, dims, enc_hidden, dtype)
+
+    # tokens buffer holds prompt then generated ids
+    tokens = jnp.full((bm, max_len), tables.pad_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+    kv_valid = jnp.concatenate(
+        [prompt_mask.astype(bool),
+         jnp.ones((bm, max_len - p_len), dtype=bool)], axis=1)
+
+    positions_prompt = jnp.clip(jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
+    prefill_logits, cache = decoder_cached_forward(
+        params, dims, prompt.astype(jnp.int32), cache, cross_k, cross_v,
+        positions_prompt, 0, kv_valid, max_len, dtype, cross_mask=enc_mask)
+    pending = prefill_logits[:, -1]
+
+    cond_prompt = prompt[:b].astype(jnp.int32)
+    cond_mask = prompt_mask[:b].astype(bool)
+    last_ts, has_ts = _prompt_monotonic_state(cond_prompt, cond_mask, tables)
+    seen = jnp.zeros((b, tables.vocab_size_out), dtype=bool)
+    seen = seen.at[jnp.arange(b)[:, None], cond_prompt].max(cond_mask)
+
+    state = {
+        "tokens": tokens,
+        "cache": cache,
+        "pending": pending,
+        "step": jnp.asarray(p_len, jnp.int32),
+        "pos_next": positions_prompt[:, -1] + 1,
+        "finished": jnp.zeros((b,), dtype=bool),
+        "last_scores": jnp.zeros((b, tables.vocab_size_out), jnp.float32),
+        "have_last": jnp.zeros((b,), dtype=bool),
+        "last_ts": last_ts,
+        "has_ts": has_ts,
+        "seen": seen,
+        "key": key,
+    }
+
+    def cond_fn(s):
+        return (s["step"] < max_len) & ~jnp.all(s["finished"])
+
+    def body_fn(s):
+        step = s["step"]
+        logits = fold_cfg(s["pending"], settings.cfg_scale) if settings.cfg_on else s["pending"]
+        logits = apply_repetition_penalty(logits, s["seen"], settings.repetition_penalty)
+        logits = monotonic_timeshift_mask(logits, s["last_ts"], s["has_ts"],
+                                          tables.time_start, tables.time_end)
+        logits = timeshift_bias(logits, settings.timeshift_bias,
+                                tables.time_start, tables.time_end)
+        prev1 = s["tokens"][:b, jnp.clip(step - 1, 0)]
+        prev3 = s["tokens"][:b, jnp.clip(step - 3, 0)]
+        logits = conditional_temperature(logits, prev1, prev3, settings, tables)
+        pre_lookback = logits
+        if settings.lookback_time > 0:
+            logits = lookback_bias(logits, s["last_scores"], prev1,
+                                   s["have_last"], timed_mask, lookback_mask,
+                                   tables.eos_prob_ids, tables.time_start,
+                                   settings.types_first)
+        logits = apply_top_k(logits, settings.top_k)
+        logits = apply_top_p(logits, settings.top_p)
+
+        key, sub = jax.random.split(s["key"])
+        token = sample_token(sub, logits, settings.do_sample)
+        token = jnp.where(s["finished"], tables.pad_id, token)
+        finished = s["finished"] | eos_mask[token]
+
+        token_m = jnp.tile(token, 2) if settings.cfg_on else token
+        tokens = s["tokens"].at[:, step].set(token_m)
+        seen = s["seen"].at[jnp.arange(b), token].set(True)
+
+        is_ts = (token >= tables.time_start) & (token < tables.time_end)
+        is_sos = jnp.isin(token, jnp.asarray(tables.sos_ids))
+        last_ts = jnp.where(is_ts, token - tables.time_start, s["last_ts"])
+        has_ts = jnp.where(is_sos, False, s["has_ts"] | is_ts)
+
+        step_logits, cache = decoder_cached_forward(
+            params, dims, tokens[:, step][:, None], s["cache"], cross_k,
+            cross_v, s["pos_next"][:, None], step, kv_valid, max_len, dtype,
+            cross_mask=enc_mask)
+
+        return {
+            "tokens": tokens,
+            "cache": cache,
+            "pending": step_logits[:, -1],
+            "step": step + 1,
+            "pos_next": s["pos_next"] + 1,
+            "finished": finished,
+            "last_scores": pre_lookback,
+            "have_last": jnp.ones((b,), dtype=bool),
+            "last_ts": last_ts,
+            "has_ts": has_ts,
+            "seen": seen,
+            "key": key,
+        }
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state)
+    return {
+        "tokens": final["tokens"][:b],
+        "length": final["step"],
+        "finished": final["finished"],
+        "prompt_len": p_len,
+    }

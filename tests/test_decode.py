@@ -1,0 +1,205 @@
+"""Decode engine tests: cache-consistency, logit rules, EOS, CFG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beatheritage_tpu.config import TrainConfig, load_config
+from beatheritage_tpu.decode import (
+    SamplerSettings,
+    TokenTables,
+    decoder_cached_forward,
+    generate,
+    init_self_cache,
+    precompute_cross_kv,
+)
+from beatheritage_tpu.decode.logit_rules import (
+    fold_cfg,
+    monotonic_timeshift_mask,
+)
+from beatheritage_tpu.events import ContextType, Event, EventType
+from beatheritage_tpu.models import ModelDims, decode_train, init_params
+from beatheritage_tpu.ops.sampling import apply_top_k, apply_top_p
+from beatheritage_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(TrainConfig, "train", "tiny")
+    tok = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tok)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    tables = TokenTables.from_tokenizer(tok)
+    return cfg, tok, dims, params, tables
+
+
+def test_cached_forward_matches_teacher_forced(setup):
+    """Prefill + steps through the KV cache must reproduce the full
+    teacher-forced logits (the core cache-correctness invariant)."""
+    cfg, tok, dims, params, tables = setup
+    b, t, s = 2, 10, 8
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 3, tok.vocab_size_out)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (b, s, dims.d_model))
+
+    ref = decode_train(params, dims, ids, enc, dtype=jnp.float32)
+
+    max_len = 16
+    cache = init_self_cache(dims, b, max_len, jnp.float32)
+    ck, cv = precompute_cross_kv(params, dims, enc, jnp.float32)
+    kv_valid = jnp.ones((b, max_len), dtype=bool)
+
+    # prefill first 4, then 6 single-token steps
+    pos = jnp.broadcast_to(jnp.arange(t), (b, t))
+    logits_pre, cache = decoder_cached_forward(
+        params, dims, ids[:, :4], cache, ck, cv, pos[:, :4], 0, kv_valid,
+        max_len, jnp.float32)
+    outs = [logits_pre]
+    for i in range(4, t):
+        li, cache = decoder_cached_forward(
+            params, dims, ids[:, i:i+1], cache, ck, cv, pos[:, i:i+1], i,
+            kv_valid, max_len, jnp.float32)
+        outs.append(li)
+    cached = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(ref),
+                               atol=1e-2, rtol=0)
+
+
+def test_left_padding_position_transparency(setup):
+    """A left-padded prompt must produce the same final logits as the
+    unpadded prompt (position ids from non-pad count + masked attention)."""
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(2), (b, s, dims.d_model))
+    ids = jnp.array([[1, 50, 60, 70]], dtype=jnp.int32)
+    max_len = 12
+    ck, cv = precompute_cross_kv(params, dims, enc, jnp.float32)
+
+    # unpadded
+    cache = init_self_cache(dims, b, max_len, jnp.float32)
+    kv_valid = jnp.ones((b, max_len), dtype=bool)
+    pos = jnp.arange(4)[None, :]
+    l1, _ = decoder_cached_forward(params, dims, ids, cache, ck, cv, pos, 0,
+                                   kv_valid, max_len, jnp.float32)
+
+    # left-padded by 3
+    pad = jnp.zeros((b, 3), jnp.int32)
+    ids_p = jnp.concatenate([pad, ids], axis=1)
+    mask = jnp.concatenate([jnp.zeros((b, 3), bool), jnp.ones((b, 4), bool)], axis=1)
+    kv_valid_p = jnp.concatenate([mask, jnp.ones((b, max_len - 7), bool)], axis=1)
+    pos_p = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0)
+    cache = init_self_cache(dims, b, max_len, jnp.float32)
+    l2, _ = decoder_cached_forward(params, dims, ids_p, cache, ck, cv, pos_p,
+                                   0, kv_valid_p, max_len, jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1[:, -1]), np.asarray(l2[:, -1]),
+                               atol=1e-2, rtol=0)
+
+
+def test_generate_runs_and_terminates(setup):
+    cfg, tok, dims, params, tables = setup
+    b, s = 2, 8
+    enc = jax.random.normal(jax.random.PRNGKey(3), (b, s, dims.d_model))
+    sos = tok.context_sos[ContextType.MAP]
+    prompt = jnp.full((b, 4), tok.pad_id, jnp.int32).at[:, -1].set(sos)
+    mask = jnp.zeros((b, 4), bool).at[:, -1].set(True)
+    eos_mask = jnp.asarray(tables.eos_token_mask(context_type=ContextType.MAP))
+    settings = SamplerSettings(temperature=1.0, do_sample=True)
+    out = generate(params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                   jax.random.PRNGKey(0), max_len=32, dtype=jnp.float32)
+    toks = np.asarray(out["tokens"])
+    assert toks.shape == (b, 32)
+    assert int(out["length"]) <= 32
+    # all generated ids must be in the output vocab
+    assert toks.max() < tok.vocab_size_out
+
+
+def test_generate_greedy_deterministic(setup):
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(3), (b, s, dims.d_model))
+    prompt = jnp.full((b, 2), tok.sos_id, jnp.int32)
+    mask = jnp.ones((b, 2), bool)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(do_sample=False)
+    o1 = generate(params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                  jax.random.PRNGKey(0), max_len=20, dtype=jnp.float32)
+    o2 = generate(params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                  jax.random.PRNGKey(42), max_len=20, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(o1["tokens"]), np.asarray(o2["tokens"]))
+
+
+def test_monotonic_time_enforced_in_generation(setup):
+    """Decoded time tokens must be non-decreasing within a window."""
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(5), (b, s, dims.d_model))
+    prompt = jnp.full((b, 2), tok.sos_id, jnp.int32)
+    mask = jnp.ones((b, 2), bool)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(temperature=2.0, do_sample=True)
+    out = generate(params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                   jax.random.PRNGKey(7), max_len=64, dtype=jnp.float32)
+    toks = np.asarray(out["tokens"])[0][2:int(out["length"])]
+    times = [t - tables.time_start for t in toks
+             if tables.time_start <= t < tables.time_end]
+    assert times == sorted(times)
+
+
+def test_cfg_fold_direction():
+    cond = jnp.array([[2.0, 0.0]])
+    neg = jnp.array([[0.0, 2.0]])
+    out = fold_cfg(jnp.concatenate([cond, neg]), 3.0)
+    # guidance must amplify cond relative to neg
+    assert float(out[0, 0]) == pytest.approx(6.0)
+    assert float(out[0, 1]) == pytest.approx(-4.0)
+
+
+def test_monotonic_mask_rule():
+    logits = jnp.zeros((1, 20))
+    out = monotonic_timeshift_mask(logits, jnp.array([5]), jnp.array([True]), 10, 20)
+    o = np.asarray(out[0])
+    assert np.all(o[10:15] < -1e8)   # times 0..4 masked
+    assert np.all(o[15:] == 0)       # times >= 5 allowed
+    out2 = monotonic_timeshift_mask(logits, jnp.array([5]), jnp.array([False]), 10, 20)
+    assert np.all(np.asarray(out2) == 0)
+
+
+def test_top_k_top_p():
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    k2 = np.asarray(apply_top_k(logits, 2)[0])
+    assert np.isfinite(k2[:2]).all() and (k2[2:] < -1e8).all()
+    p = np.asarray(apply_top_p(logits, 0.7)[0])
+    assert np.isfinite(p[:2]).all() and (p[2:] < -1e8).all()
+    # p large enough keeps everything
+    p_all = np.asarray(apply_top_p(logits, 0.999)[0])
+    assert np.isfinite(p_all).all()
+
+
+def test_generate_with_cfg_and_sampling_settings(setup):
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(3), (b, s, dims.d_model))
+    enc2 = jnp.concatenate([enc, enc])  # cond + neg share audio
+    sos = tok.sos_id
+    prompt = jnp.full((2 * b, 3), sos, jnp.int32)
+    mask = jnp.ones((2 * b, 3), bool)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(cfg_scale=1.5, temperature=0.9, top_p=0.9,
+                               top_k=50, repetition_penalty=1.1,
+                               timing_temperature=0.1)
+    out = generate(params, dims, settings, tables, enc2, prompt, mask,
+                   eos_mask, jax.random.PRNGKey(1), max_len=24, dtype=jnp.float32)
+    assert np.asarray(out["tokens"]).shape == (b, 24)
+
+
+def test_eos_mask_includes_boundary_timeshifts(setup):
+    cfg, tok, dims, params, tables = setup
+    m = tables.eos_token_mask(lookback_time=100, lookahead_time=50,
+                              context_type=ContextType.MAP)
+    assert m[tok.eos_id]
+    assert m[tok.context_eos[ContextType.MAP]]
+    # 10 lookback time tokens at the start of the range
+    assert m[tables.time_start:tables.time_start + 10].all()
+    assert not m[tables.time_start + 10]
+    # 5 lookahead tokens at the end
+    assert m[tables.time_end - 5:tables.time_end].all()
