@@ -1,0 +1,42 @@
+"""Command-line inference entry point.
+
+Mirrors the reference's Hydra CLI surface (reference: inference.py:543,
+README "Command-Line Inference"):
+
+    python -m beatheritage_tpu.apps.cli -cn beatheritage_v1 \
+        audio_path=/path/song.wav output_path=./out gamemode=0 difficulty=5.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..config import InferenceConfig, load_config
+from ..inference.pipeline import generate
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="beatheritage_tpu: song -> osu! beatmap (TPU-native)")
+    parser.add_argument("-cn", "--config-name", default="default",
+                        help="inference config name under configs/inference/")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted config overrides, e.g. gamemode=3 top_p=0.9")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    ns = parse_args(argv)
+    args = load_config(InferenceConfig, "inference", ns.config_name,
+                       overrides=ns.overrides)
+    if not args.audio_path:
+        print("error: audio_path is required (audio_path=/path/to/song.wav)",
+              file=sys.stderr)
+        return 2
+    generate(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,233 @@
+"""Top-level inference orchestrator: audio file -> .osu beatmap.
+
+(reference: inference.py:323 generate, :449 load_model, :272 get_config)
+Flow: preprocess audio into windows -> (optional) timing pre-pass or super
+timing -> windowed token generation -> timing inference + resnap ->
+(optional) diffusion coordinate refinement -> postprocess to .osu.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import InferenceConfig, as_dict
+from ..data.event_utils import events_of_type, merge_events
+from ..events import ContextType, TIMING_TYPES
+from ..models.transformer import ModelDims, init_params
+from ..osu.beatmap import Beatmap
+from ..tokenizer import Tokenizer
+from .postprocessor import BeatmapConfig, Postprocessor
+from .preprocessor import Preprocessor
+from .processor import GenerationConfig, Processor
+
+
+def load_tokenizer(args: InferenceConfig) -> Tokenizer:
+    path = Path(args.model_path) if args.model_path else None
+    if path is not None and (path / "tokenizer.json").is_file():
+        return Tokenizer.from_pretrained(path)
+    return Tokenizer(args.train)
+
+
+def load_model(args: InferenceConfig, tokenizer: Tokenizer):
+    """Load model params from an orbax checkpoint dir, or initialize randomly
+    when no checkpoint is given (useful for pipeline testing before
+    training)."""
+    dims = ModelDims.from_config(args.train, tokenizer)
+    path = Path(args.model_path) if args.model_path else None
+    if path is not None and path.is_dir() and (path / "params").exists():
+        from ..train.checkpoints import restore_params  # noqa: PLC0415
+        return restore_params(path, dims), dims
+    seed = args.seed if args.seed is not None else 0
+    params = init_params(jax.random.PRNGKey(seed), dims)
+    return params, dims
+
+
+def build_configs(args: InferenceConfig) -> tuple[GenerationConfig, BeatmapConfig]:
+    gen = GenerationConfig(
+        gamemode=args.gamemode if args.gamemode is not None else 0,
+        beatmap_id=args.beatmap_id,
+        difficulty=args.difficulty,
+        mapper_id=args.mapper_id,
+        year=args.year,
+        hitsounded=args.hitsounded if args.hitsounded is not None else True,
+        hp_drain_rate=args.hp_drain_rate,
+        circle_size=args.circle_size,
+        overall_difficulty=args.overall_difficulty,
+        approach_rate=args.approach_rate,
+        slider_multiplier=args.slider_multiplier or 1.4,
+        slider_tick_rate=args.slider_tick_rate or 1,
+        keycount=args.keycount if args.keycount is not None else 4,
+        hold_note_ratio=args.hold_note_ratio,
+        scroll_speed_ratio=args.scroll_speed_ratio,
+        descriptors=args.descriptors,
+        negative_descriptors=args.negative_descriptors,
+    )
+    bm = BeatmapConfig(
+        title=args.title, artist=args.artist,
+        title_unicode=args.title, artist_unicode=args.artist,
+        audio_filename=Path(args.audio_path).name if args.audio_path else "",
+        hp_drain_rate=args.hp_drain_rate or 5,
+        circle_size=(args.keycount if args.gamemode == 3 else args.circle_size) or 4,
+        overall_difficulty=args.overall_difficulty or 8,
+        approach_rate=args.approach_rate or 9,
+        slider_multiplier=args.slider_multiplier or 1.4,
+        slider_tick_rate=args.slider_tick_rate or 1,
+        creator=args.creator, version=args.version,
+        tags=provenance_tags(args),
+        background=args.background,
+        preview_time=args.preview_time,
+        bpm=args.bpm, offset=args.offset,
+        mode=args.gamemode or 0,
+    )
+    return gen, bm
+
+
+def provenance_tags(args: InferenceConfig) -> str:
+    """Non-default inference args embedded in the Tags field for provenance
+    (reference inference.py:272-279)."""
+    defaults = as_dict(InferenceConfig())
+    current = as_dict(args)
+    skip = {"train", "diffusion", "model_path", "audio_path", "output_path",
+            "beatmap_path", "device", "title", "artist", "creator", "version"}
+    tags = []
+    for k, v in current.items():
+        if k in skip or isinstance(v, dict):
+            continue
+        if defaults.get(k) != v and v is not None:
+            tags.append(f"{k}={v}")
+    return " ".join(tags)
+
+
+def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
+             output_path=None,
+             generation_config: Optional[GenerationConfig] = None,
+             beatmap_config: Optional[BeatmapConfig] = None,
+             params=None, tokenizer: Optional[Tokenizer] = None,
+             diff_params=None, diff_tokenizer=None,
+             verbose: bool = True):
+    """Full song -> .osu run. Returns (osu_text, osu_path, osz_path)."""
+    audio_path = audio_path or args.audio_path
+    beatmap_path = beatmap_path or args.beatmap_path
+    output_path = output_path if output_path is not None else args.output_path
+
+    if not Path(audio_path).is_file():
+        raise FileNotFoundError(f"Provided audio file path does not exist: {audio_path}")
+    if beatmap_path:
+        p = Path(beatmap_path)
+        if not p.is_file():
+            raise FileNotFoundError(f"Provided beatmap file path does not exist: {beatmap_path}")
+        if p.suffix.lower() != ".osu":
+            raise ValueError(f"Beatmap file must have .osu extension: {beatmap_path}")
+
+    if tokenizer is None:
+        tokenizer = load_tokenizer(args)
+    if params is None:
+        params, _ = load_model(args, tokenizer)
+    if generation_config is None or beatmap_config is None:
+        gc, bc = build_configs(args)
+        generation_config = generation_config or gc
+        beatmap_config = beatmap_config or bc
+    if not beatmap_config.audio_filename and audio_path:
+        beatmap_config.audio_filename = Path(audio_path).name
+
+    preprocessor = Preprocessor(args, parallel=args.parallel)
+    processor = Processor(args, params, tokenizer)
+    postprocessor = Postprocessor(args)
+
+    audio = preprocessor.load(audio_path)
+    sequences = preprocessor.segment(audio)
+    extra_in_context = {}
+    output_type = list(args.output_type)
+
+    timing_events = None
+    timing = None
+    if args.super_timing and ContextType.NONE in args.in_context:
+        from .super_timing import SuperTimingGenerator  # noqa: PLC0415
+        stg = SuperTimingGenerator(args, params, tokenizer)
+        timing_events, _ = stg.generate(audio, generation_config, verbose=verbose)
+        timing = postprocessor.generate_timing(timing_events)
+        extra_in_context[ContextType.TIMING] = timing
+        if ContextType.TIMING in output_type:
+            output_type.remove(ContextType.TIMING)
+    elif (ContextType.NONE in args.in_context and ContextType.MAP in output_type
+          and not any((ContextType.NONE in _ins(ctx) or len(_ins(ctx)) == 0)
+                      and ContextType.MAP in _outs(ctx)
+                      for ctx in args.train.data.context_types)):
+        # the model has no direct none->map template: run a timing pre-pass
+        timing_events, timing_times = processor.generate(
+            sequences=sequences, generation_config=generation_config,
+            in_context=[ContextType.NONE], out_context=[ContextType.TIMING],
+            verbose=verbose)[0]
+        timing_events, timing_times = events_of_type(
+            timing_events, timing_times, TIMING_TYPES)
+        timing = postprocessor.generate_timing(timing_events)
+        extra_in_context[ContextType.TIMING] = timing
+        if ContextType.TIMING in output_type:
+            output_type.remove(ContextType.TIMING)
+    elif ContextType.TIMING in args.in_context or (
+            args.train.data.add_timing and any(
+                t in args.in_context for t in (ContextType.GD, ContextType.NO_HS))):
+        timing = [tp for tp in Beatmap.from_path(beatmap_path).timing_points
+                  if tp.parent is None]
+
+    if output_type:
+        result = processor.generate(
+            sequences=sequences, generation_config=generation_config,
+            in_context=args.in_context, out_context=output_type,
+            beatmap_path=beatmap_path, extra_in_context=extra_in_context,
+            verbose=verbose)
+        events, _ = functools.reduce(merge_events, result)
+        if timing is None and (ContextType.TIMING in args.output_type
+                               or args.train.data.add_timing):
+            timing = postprocessor.generate_timing(events)
+        if args.resnap_events and timing is not None:
+            events = postprocessor.resnap_events(events, timing)
+    else:
+        events = timing_events or []
+
+    if (args.generate_positions and (args.gamemode or 0) in (0, 2)
+            and ContextType.MAP in output_type):
+        try:
+            from ..diffusion.pipeline import DiffusionPipeline  # noqa: PLC0415
+            pipeline = DiffusionPipeline(args, diff_params, diff_tokenizer)
+            events = pipeline.generate(events=events,
+                                       generation_config=generation_config,
+                                       timing=timing, verbose=verbose)
+        except ImportError:
+            if verbose:
+                print("Diffusion refiner unavailable; keeping decoded positions.")
+
+    result = postprocessor.generate(events=events, beatmap_config=beatmap_config,
+                                    timing=timing)
+
+    result_path = None
+    osz_path = None
+    if args.add_to_beatmap:
+        result_path = postprocessor.add_to_beatmap(result, beatmap_path)
+        if verbose:
+            print(f"Added generated content to {result_path}")
+    elif output_path:
+        result_path = postprocessor.write_result(result, output_path)
+        if verbose:
+            print(f"Generated beatmap saved to {result_path}")
+    if args.export_osz and result_path:
+        osz_path = postprocessor.export_osz(result_path, audio_path, output_path)
+        if verbose:
+            print(f"Generated .osz saved to {osz_path}")
+
+    return result, result_path, osz_path
+
+
+def _ins(ctx) -> list:
+    vals = ctx.get("in", []) if isinstance(ctx, dict) else []
+    return [ContextType(v) if isinstance(v, str) else v for v in vals]
+
+
+def _outs(ctx) -> list:
+    vals = ctx.get("out", []) if isinstance(ctx, dict) else []
+    return [ContextType(v) if isinstance(v, str) else v for v in vals]

@@ -1,0 +1,907 @@
+"""Windowed seamless generation engine (host orchestration).
+
+Re-design of the reference Processor (reference:
+osuT5/osuT5/inference/processor.py:74) around the jitted decode engine:
+
+- per-window prompt assembly from in/out contexts + class (conditioning)
+  tokens + special tokens + SOS (get_prompt semantics, processor.py:1116)
+- sequential mode feeds prior windows' decoded tokens as decoder prefill
+  with 90% window overlap; boundary time tokens act as EOS and get trimmed
+  (processor.py:308, 993)
+- parallel mode batches whole windows through the engine at once
+  (processor.py:366)
+- teacher-forced surprisal pass for MaiMod (processor.py:416)
+
+Device work happens in exactly two jitted programs per window batch: the
+encoder (audio -> hidden states) and the decode loop. Prompt lengths are
+bucketed to powers of two to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.event_utils import (
+    get_hitsounded_status,
+    get_hold_note_ratio,
+    get_scroll_speed_ratio,
+    remove_events_of_type,
+    update_event_times,
+)
+from ..data.parser import BeatmapParser
+from ..decode.engine import SamplerSettings, generate as engine_generate
+from ..decode.tables import TokenTables
+from ..events import ContextType, Event, EventType
+from ..models.transformer import ModelDims, encode as model_encode
+from ..osu.beatmap import Beatmap
+from ..tokenizer import Tokenizer
+
+MILISECONDS_PER_SECOND = 1000
+MILISECONDS_PER_STEP = 10
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Per-run conditioning (reference processor.py:26)."""
+
+    gamemode: int = 0
+    beatmap_id: Optional[int] = None
+    difficulty: Optional[float] = None
+    mapper_id: Optional[int] = None
+    year: Optional[int] = None
+    hitsounded: bool = True
+    hp_drain_rate: Optional[float] = None
+    circle_size: Optional[float] = None
+    overall_difficulty: Optional[float] = None
+    approach_rate: Optional[float] = None
+    slider_multiplier: float = 1.4
+    slider_tick_rate: Optional[float] = None
+    keycount: int = 4
+    hold_note_ratio: Optional[float] = None
+    scroll_speed_ratio: Optional[float] = None
+    descriptors: Optional[list] = None
+    negative_descriptors: Optional[list] = None
+
+
+def generation_config_from_beatmap(beatmap: Beatmap, tokenizer: Tokenizer) -> GenerationConfig:
+    gamemode = int(beatmap.mode)
+    return GenerationConfig(
+        gamemode=gamemode,
+        beatmap_id=beatmap.beatmap_id,
+        difficulty=None,  # no star-rating calculator; callers may override
+        mapper_id=tokenizer.beatmap_mapper.get(beatmap.beatmap_id, None),
+        hp_drain_rate=beatmap.hp_drain_rate,
+        circle_size=beatmap.circle_size,
+        overall_difficulty=beatmap.overall_difficulty,
+        approach_rate=beatmap.approach_rate,
+        slider_multiplier=beatmap.slider_multiplier,
+        slider_tick_rate=beatmap.slider_tick_rate,
+        hitsounded=get_hitsounded_status(beatmap),
+        keycount=int(beatmap.circle_size) if gamemode == 3 else 4,
+        hold_note_ratio=get_hold_note_ratio(beatmap) if gamemode == 3 else None,
+        scroll_speed_ratio=get_scroll_speed_ratio(beatmap) if gamemode in (1, 3) else None,
+        descriptors=[tokenizer.descriptor_name(i)
+                     for i in tokenizer.beatmap_descriptors.get(beatmap.beatmap_id, [])]
+        if beatmap.beatmap_id in tokenizer.beatmap_descriptors else None,
+    )
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Processor:
+    def __init__(self, args, params, tokenizer: Tokenizer,
+                 cfg_scale: Optional[float] = None, verbose: bool = True):
+        """args is an InferenceConfig; params the model pytree."""
+        self.args = args
+        self.params = params
+        self.tokenizer = tokenizer
+        self.verbose = verbose
+        d = args.train.data
+
+        self.dims = ModelDims.from_config(args.train, tokenizer)
+        self.tables = TokenTables.from_tokenizer(tokenizer)
+        self.dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+
+        self.tgt_seq_len = d.tgt_seq_len
+        self.frame_seq_len = d.src_seq_len - 1
+        self.frame_size = args.train.model.spectrogram.hop_length
+        self.sample_rate = args.train.model.spectrogram.sample_rate
+        self.samples_per_sequence = self.frame_seq_len * self.frame_size
+        self.miliseconds_per_sequence = (self.samples_per_sequence
+                                         * MILISECONDS_PER_SECOND / self.sample_rate)
+        self.lookback_time = args.lookback * self.miliseconds_per_sequence
+        self.lookahead_max_time = (1 - args.lookahead) * self.miliseconds_per_sequence
+        self.lookahead_time = args.lookahead * self.miliseconds_per_sequence
+        self.eos_time = (1 - d.lookahead) * self.miliseconds_per_sequence
+        self.center_pad_decoder = d.center_pad_decoder
+
+        for name in ("add_out_context_types", "add_gamemode_token", "add_style_token",
+                     "add_diff_token", "add_mapper_token", "add_year_token",
+                     "add_hitsounded_token", "add_song_length_token",
+                     "add_global_sv_token", "add_cs_token", "add_keycount_token",
+                     "add_hold_note_ratio_token", "add_scroll_speed_ratio_token",
+                     "add_descriptors", "add_sv_special_token",
+                     "add_kiai_special_token", "add_song_position_token",
+                     "add_kiai", "max_pre_token_len", "add_pre_tokens",
+                     "add_gd_context", "add_timing", "add_positions", "add_sv",
+                     "add_mania_sv", "types_first"):
+            setattr(self, name, getattr(d, name))
+
+        self.parser = BeatmapParser(args.train, tokenizer)
+        m = args.train.model
+        self.do_style_embed = m.do_style_embed
+        self.do_difficulty_embed = m.do_difficulty_embed
+        self.do_mapper_embed = m.do_mapper_embed
+        self.do_song_position_embed = m.do_song_position_embed
+        self.context_types = [
+            {k: [ContextType(t) if isinstance(t, str) else t for t in v]
+             for k, v in ct.items()}
+            for ct in d.context_types]
+        self.add_to_beatmap = args.add_to_beatmap
+        self.start_time = args.start_time
+        self.end_time = args.end_time
+
+        if self.add_positions:
+            self.position_precision = d.position_precision
+            x_min, x_max, y_min, y_max = d.position_range
+            self.x_min = x_min // self.position_precision
+            self.x_max = x_max // self.position_precision
+            self.y_min = y_min // self.position_precision
+            self.y_max = y_max // self.position_precision
+            self.x_count = self.x_max - self.x_min + 1
+
+        self.cfg_scale = cfg_scale if cfg_scale is not None else args.cfg_scale
+        self.parallel = args.parallel
+        self.max_batch_size = args.max_batch_size
+        self.settings_base = dict(
+            temperature=args.temperature,
+            timing_temperature=args.timing_temperature,
+            mania_column_temperature=args.mania_column_temperature,
+            taiko_hit_temperature=args.taiko_hit_temperature,
+            top_p=args.top_p, top_k=args.top_k,
+            repetition_penalty=args.repetition_penalty,
+            timeshift_bias=args.timeshift_bias,
+            cfg_scale=self.cfg_scale,
+            types_first=self.types_first,
+            do_sample=args.do_sample,
+        )
+
+        seed = args.seed if args.seed is not None else 0
+        self._key = jax.random.PRNGKey(seed)
+
+        self._encode_jit = jax.jit(
+            functools.partial(model_encode, dims=self.dims, cfg=args.train,
+                              dtype=self.dtype),
+            static_argnames=())
+
+    # -- device helpers ------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def encode_audio(self, frames: np.ndarray, cond: dict) -> jnp.ndarray:
+        """Run the jitted encoder over a batch of audio windows."""
+        kwargs = {}
+        b = frames.shape[0]
+        if self.do_style_embed:
+            kwargs["beatmap_idx"] = jnp.asarray(cond.get(
+                "beatmap_idx", np.full(b, self.dims.num_classes)), jnp.int32)
+        if self.do_difficulty_embed:
+            kwargs["difficulty"] = jnp.asarray(cond.get(
+                "difficulty", np.full(b, 5.0)), jnp.float32)
+        if self.do_mapper_embed:
+            kwargs["mapper_idx"] = jnp.asarray(cond.get(
+                "mapper_idx", np.full(b, -1)), jnp.int32)
+        if self.do_song_position_embed:
+            kwargs["song_position"] = jnp.asarray(cond.get(
+                "song_position", np.zeros((b, 2))), jnp.float32)
+        return self._encode_jit(self.params, audio=jnp.asarray(frames), **kwargs)
+
+    def _run_engine(self, enc_hidden, cond_prompt: np.ndarray,
+                    uncond_prompt: Optional[np.ndarray],
+                    lookback_time: float, lookahead_time: float,
+                    context_type: Optional[ContextType]) -> list[np.ndarray]:
+        """One engine invocation over a window batch. Returns the generated
+        (post-prompt) token arrays per row, EOS trimmed by the caller."""
+        b, p_raw = cond_prompt.shape
+        p = min(_bucket(p_raw + 1), self.tgt_seq_len)
+        cfg_on = self.cfg_scale > 1 and uncond_prompt is not None
+
+        def left_pad(x):
+            out = np.full((x.shape[0], p), self.tokenizer.pad_id, np.int32)
+            k = min(x.shape[1], p)
+            out[:, p - k:] = x[:, -k:]
+            return out
+
+        prompt = left_pad(cond_prompt)
+        if cfg_on:
+            prompt = np.concatenate([prompt, left_pad(uncond_prompt)], axis=0)
+            enc_hidden = jnp.concatenate([enc_hidden, enc_hidden], axis=0)
+        mask = prompt != self.tokenizer.pad_id
+
+        settings = SamplerSettings(
+            lookback_time=lookback_time, lookahead_time=lookahead_time,
+            **{**self.settings_base,
+               "cfg_scale": self.cfg_scale if cfg_on else 1.0})
+        eos_mask = jnp.asarray(self.tables.eos_token_mask(
+            lookback_time=lookback_time, lookahead_time=lookahead_time,
+            context_type=context_type))
+
+        out = engine_generate(
+            self.params, self.dims, settings, self.tables, enc_hidden,
+            jnp.asarray(prompt), jnp.asarray(mask), eos_mask, self._next_key(),
+            max_len=self.tgt_seq_len, dtype=self.dtype)
+        tokens = np.asarray(out["tokens"])
+        length = int(out["length"])
+        return [tokens[i, p:length] for i in range(b)]
+
+    # -- template/context selection (processor.py:575) ------------------------
+
+    def _get_viable_template(self, in_context=None, out_context=None,
+                             extra_in_context=None, gamemode: int = 0):
+        in_context = list(in_context or [])
+        out_context = list(out_context or [])
+        if extra_in_context is not None:
+            for ct in extra_in_context:
+                if ct not in in_context:
+                    in_context.append(ct)
+
+        viable = [ct for ct in self.context_types
+                  if all(oc in ct["out"] for oc in out_context)
+                  and all(ic in in_context or ic == ContextType.NONE for ic in ct["in"])]
+        if not viable:
+            raise ValueError(
+                "No viable template found for the given context types. "
+                f"Candidates are: {self.context_types}")
+        template = max(viable, key=lambda ct: sum(1 for ic in ct["in"]
+                                                  if ic != ContextType.NONE))
+        all_out = template["out"]
+        gen_out = list(all_out)
+        gen_in = list(template["in"])
+        req_special = self._required_special_tokens(all_out)
+        if gamemode != 3 and ContextType.SV in gen_out:
+            gen_out.remove(ContextType.SV)
+        count = max(all_out.index(oc) for oc in gen_out) + 1
+        return gen_in, all_out[:count], req_special
+
+    def _required_special_tokens(self, all_out: list[ContextType]) -> list[str]:
+        result = []
+        if ContextType.KIAI in all_out or (self.add_kiai and any(
+                c in all_out for c in (ContextType.GD, ContextType.MAP))):
+            result.append("last_kiai")
+        if ContextType.SV in all_out or ((self.add_sv or self.add_mania_sv) and any(
+                c in all_out for c in (ContextType.GD, ContextType.MAP))):
+            result.append("last_sv")
+        if self.add_song_position_token:
+            result.append("song_position")
+        return result
+
+    # -- context construction (processor.py:763) -------------------------------
+
+    def get_context(self, context: ContextType, *, beatmap_path=None,
+                    extra_in_context=None, song_length=None, add_type=False,
+                    add_class=False, finished=False, partial=False,
+                    parser: Optional[BeatmapParser] = None) -> dict:
+        if (context != ContextType.NONE and finished
+                and (extra_in_context is None or context not in extra_in_context)):
+            if beatmap_path is None or not Path(beatmap_path).is_file():
+                raise FileNotFoundError(f"Beatmap file {beatmap_path} not found.")
+
+        data: dict[str, Any] = {
+            "events": [], "event_times": [], "context_type": context,
+            "add_type": add_type, "add_class": add_class,
+            "add_pre_tokens": False, "song_length": song_length,
+            "finished": finished,
+        }
+        if not (finished or partial):
+            return data
+
+        parser = parser or self.parser
+        if extra_in_context is not None and context in extra_in_context:
+            value = extra_in_context[context]
+            if context == ContextType.TIMING and isinstance(value, list):
+                data["events"], data["event_times"] = parser.parse_timing(
+                    value, song_length=song_length)
+            elif len(value) == 2:
+                data["events"], data["event_times"] = value
+            else:
+                data["events"], data["event_times"], data["class"] = value
+        elif context == ContextType.NONE:
+            pass
+        elif context == ContextType.TIMING:
+            bm = Beatmap.from_path(beatmap_path)
+            data["events"], data["event_times"] = parser.parse_timing(
+                bm, song_length=song_length)
+        elif context in (ContextType.MAP, ContextType.GD):
+            bm = Beatmap.from_path(beatmap_path)
+            data["events"], data["event_times"] = parser.parse(bm, song_length=song_length)
+            if add_class:
+                data["class"] = self.class_tokens(
+                    generation_config_from_beatmap(bm, self.tokenizer), song_length)
+        elif context == ContextType.NO_HS:
+            bm = Beatmap.from_path(beatmap_path)
+            ev, et = parser.parse(bm, song_length=song_length)
+            data["events"], data["event_times"] = remove_events_of_type(
+                ev, et, [EventType.HITSOUND, EventType.VOLUME])
+        elif context == ContextType.KIAI:
+            data["events"], data["event_times"] = parser.parse_kiai(
+                Beatmap.from_path(beatmap_path))
+        elif context == ContextType.SV:
+            data["events"], data["event_times"] = parser.parse_scroll_speeds(
+                Beatmap.from_path(beatmap_path))
+        else:
+            raise ValueError(f"Invalid context type {context}")
+
+        if not finished and partial:
+            self._trim_events_after_time(data["events"], data["event_times"],
+                                         self.start_time - 1)
+        return data
+
+    def get_in_context(self, *, in_context, beatmap_path, extra_in_context=None,
+                       song_length) -> list[dict]:
+        contexts = [self.get_context(
+            c, beatmap_path=beatmap_path, extra_in_context=extra_in_context,
+            song_length=song_length, add_type=True, add_class=True,
+            finished=True) for c in in_context]
+        if self.add_gd_context:
+            contexts.append(self.get_context(
+                ContextType.GD, beatmap_path=beatmap_path,
+                extra_in_context=extra_in_context, song_length=song_length,
+                add_type=False, add_class=True, finished=True))
+        return contexts
+
+    def get_out_context(self, *, out_context, generation_config, given_context,
+                        beatmap_path, extra_in_context=None, song_length,
+                        verbose=True) -> list[dict]:
+        out = []
+        for i, context in enumerate(out_context):
+            data = self.get_context(
+                context, beatmap_path=beatmap_path,
+                extra_in_context=extra_in_context, song_length=song_length,
+                add_type=self.add_out_context_types, add_class=False,
+                finished=context in given_context,
+                partial=self.add_to_beatmap and self.start_time is not None)
+            if i == 0:
+                gc = generation_config
+                data["class"] = self.class_tokens(gc, song_length, verbose=verbose)
+                neg_has_mapper = ((gc.descriptors and len(gc.descriptors) > 0)
+                                  or (gc.negative_descriptors and len(gc.negative_descriptors) > 0))
+                data["negative_class"] = self.class_tokens(dataclasses.replace(
+                    gc, beatmap_id=None,
+                    mapper_id=gc.mapper_id if neg_has_mapper else None,
+                    descriptors=gc.negative_descriptors,
+                    negative_descriptors=None), song_length)
+                data["add_pre_tokens"] = self.add_pre_tokens
+            out.append(data)
+        return out
+
+    # -- conditioning tokens (processor.py:916 get_class_vector) ----------------
+
+    def class_tokens(self, config: GenerationConfig, song_length: float,
+                     verbose: bool = False) -> list[int]:
+        tok = self.tokenizer
+        out: list[int] = []
+        if self.add_gamemode_token:
+            out.append(tok.encode_gamemode(config.gamemode))
+        if self.add_style_token:
+            out.append(tok.encode_style(config.beatmap_id)
+                       if config.beatmap_id is not None else tok.style_unk)
+        if self.add_diff_token:
+            out.append(tok.encode_diff(config.difficulty)
+                       if config.difficulty is not None else tok.diff_unk)
+        if self.add_mapper_token:
+            out.append(tok.encode_mapper_id(config.mapper_id)
+                       if config.mapper_id is not None else tok.mapper_unk)
+        if self.add_year_token:
+            out.append(tok.encode_year(config.year)
+                       if config.year is not None else tok.year_unk)
+        if self.add_hitsounded_token:
+            out.append(tok.encode(Event(EventType.HITSOUNDED, int(config.hitsounded))))
+        if self.add_song_length_token:
+            out.append(tok.encode_song_length(song_length))
+        if self.add_global_sv_token and self.add_sv and config.gamemode in (0, 2):
+            out.append(tok.encode_global_sv(config.slider_multiplier))
+        if self.add_cs_token and config.gamemode in (0, 2):
+            out.append(tok.encode_cs(config.circle_size)
+                       if config.circle_size is not None else tok.cs_unk)
+        if config.gamemode == 3:
+            if self.add_keycount_token:
+                out.append(tok.encode(Event(EventType.MANIA_KEYCOUNT, config.keycount)))
+            if self.add_hold_note_ratio_token:
+                out.append(tok.encode_hold_note_ratio(config.hold_note_ratio))
+        if self.add_scroll_speed_ratio_token and config.gamemode in (1, 3):
+            out.append(tok.encode_scroll_speed_ratio(config.scroll_speed_ratio))
+        if self.add_descriptors:
+            added = 0
+            for desc in config.descriptors or []:
+                if isinstance(desc, str):
+                    if desc not in tok.descriptor_idx:
+                        if verbose:
+                            print(f"Descriptor class {desc} not found. Skipping.")
+                        continue
+                    out.append(tok.encode_descriptor_name(desc))
+                    added += 1
+                elif isinstance(desc, int):
+                    er = tok.event_range[EventType.DESCRIPTOR]
+                    if not er.min_value <= desc <= er.max_value:
+                        if verbose:
+                            print(f"Descriptor idx {desc} out of range. Skipping.")
+                        continue
+                    out.append(tok.encode_descriptor_idx(desc))
+                    added += 1
+            if added == 0:
+                out.append(tok.descriptor_unk)
+        return out
+
+    def model_conditioning(self, config: GenerationConfig) -> dict:
+        """Continuous-conditioning arrays for the encoder
+        (processor.py:623 _get_model_cond_kwargs)."""
+        cond: dict[str, np.ndarray] = {}
+        if self.do_style_embed:
+            idx = (self.tokenizer.beatmap_idx.get(config.beatmap_id, self.dims.num_classes)
+                   if config.beatmap_id is not None else self.dims.num_classes)
+            cond["beatmap_idx"] = np.array([idx], np.int32)
+        if self.do_difficulty_embed:
+            cond["difficulty"] = np.array(
+                [config.difficulty if config.difficulty is not None else 5.0], np.float32)
+        if self.do_mapper_embed:
+            idx = (self.tokenizer.get_mapper_idx(config.mapper_id)
+                   if config.mapper_id is not None else -1)
+            cond["mapper_idx"] = np.array([idx], np.int32)
+        return cond
+
+    # -- tokenization helpers ---------------------------------------------------
+
+    def _encode(self, events: list[Event], frame_time: float) -> list[int]:
+        er = self.tokenizer.event_range[EventType.TIME_SHIFT]
+        out = []
+        for event in events:
+            if event.type == EventType.TIME_SHIFT:
+                value = int((event.value - frame_time) / MILISECONDS_PER_STEP)
+                event = Event(event.type, int(np.clip(value, er.min_value, er.max_value)))
+            out.append(self.tokenizer.encode(event))
+        return out
+
+    def _decode(self, tokens, frame_time: float,
+                allow_non_events: bool = False) -> list[Event]:
+        events = []
+        for token in np.asarray(tokens).tolist():
+            if token == self.tokenizer.eos_id and not allow_non_events:
+                break
+            try:
+                event = self.tokenizer.decode(token)
+            except ValueError:
+                if allow_non_events:
+                    events.append(Event(EventType.CONTROL, token))
+                continue
+            if event.type == EventType.TIME_SHIFT:
+                event.value = frame_time + event.value * MILISECONDS_PER_STEP
+            events.append(event)
+        return events
+
+    @staticmethod
+    def _get_events_time_range(event_times, start_time, end_time):
+        s = 0
+        for i in range(len(event_times) - 1, -1, -1):
+            if event_times[i] < start_time:
+                s = i + 1
+                break
+        e = 0
+        for i in range(len(event_times) - 1, -1, -1):
+            if event_times[i] < end_time:
+                e = i + 1
+                break
+        return s, e
+
+    @staticmethod
+    def _trim_events_before_time(events, event_times, time):
+        for i in range(len(event_times) - 1, -1, -1):
+            if event_times[i] < time:
+                del events[i]
+                del event_times[i]
+
+    @staticmethod
+    def _trim_events_after_time(events, event_times, time):
+        for i in range(len(event_times) - 1, -1, -1):
+            if event_times[i] > time:
+                del events[i]
+                del event_times[i]
+            else:
+                break
+
+    # -- special (last kiai / last sv / song position) tokens -------------------
+
+    def _default_special_event(self, name: str) -> Event:
+        if name == "last_kiai":
+            return Event(EventType.KIAI, 0)
+        if name == "last_sv":
+            return Event(EventType.SCROLL_SPEED, 100)
+        raise ValueError(f"Invalid special event name {name}.")
+
+    def _event_before_time(self, events, event_times, etype, time, default):
+        for i in range(len(events) - 1, -1, -1):
+            if events[i].type == etype and event_times[i] < time:
+                return events[i]
+        return default
+
+    def prepare_context_sequence(self, context: dict, frame_time: float) -> dict:
+        result = dict(context)
+        result["frame_time"] = frame_time
+        if context["add_pre_tokens"]:
+            s, e = self._get_events_time_range(
+                context["event_times"], frame_time - self.miliseconds_per_sequence,
+                frame_time)
+            pre = self._encode(context["events"][s:e], frame_time)
+            if 0 <= self.max_pre_token_len < len(pre):
+                pre = pre[-self.max_pre_token_len:]
+            result["pre_tokens"] = pre
+        s, e = self._get_events_time_range(
+            context["event_times"], frame_time,
+            frame_time + self.miliseconds_per_sequence)
+        result["tokens"] = self._encode(context["events"][s:e], frame_time)
+
+        extra: dict[str, Event] = {}
+        ct = context["context_type"]
+        if self.add_kiai_special_token and (
+                ct == ContextType.KIAI
+                or (self.add_kiai and ct in (ContextType.GD, ContextType.MAP))):
+            extra["last_kiai"] = self._event_before_time(
+                context["events"], context["event_times"], EventType.KIAI,
+                frame_time, self._default_special_event("last_kiai"))
+        if self.add_sv_special_token and (
+                ct == ContextType.SV
+                or ((self.add_sv or self.add_mania_sv) and ct in (ContextType.GD, ContextType.MAP))):
+            extra["last_sv"] = self._event_before_time(
+                context["events"], context["event_times"], EventType.SCROLL_SPEED,
+                frame_time, self._default_special_event("last_sv"))
+        if self.add_song_position_token and "class" in context:
+            extra["song_position"] = self.tokenizer.decode(
+                self.tokenizer.encode_song_position(frame_time, context["song_length"]))
+        result["extra_special_events"] = extra
+        return result
+
+    def prepare_context_sequences(self, contexts: list[dict], frame_time,
+                                  out_context: bool,
+                                  req_special_tokens: list[str]) -> list[dict]:
+        results = []
+        for i, context in enumerate(contexts):
+            result = self.prepare_context_sequence(context, frame_time)
+            results.append(result)
+            if out_context and i != 0:
+                for k, v in result["extra_special_events"].items():
+                    results[0]["extra_special_events"][k] = v
+                del result["extra_special_events"]
+        if out_context:
+            for k in req_special_tokens:
+                if k not in results[0]["extra_special_events"]:
+                    results[0]["extra_special_events"][k] = self._default_special_event(k)
+        order = ["last_kiai", "last_sv", "song_position"]
+        for result in results:
+            if "extra_special_events" not in result:
+                continue
+            events = [result["extra_special_events"][k] for k in order
+                      if k in result["extra_special_events"]]
+            result["extra_special_tokens"] = self._encode(events, result["frame_time"])
+        return results
+
+    # -- prompt assembly (processor.py:1091-1156) --------------------------------
+
+    def get_context_tokens(self, context: dict, max_token_length=None,
+                           add_type_end=True) -> list[int]:
+        tokens = context["tokens"]
+        if max_token_length is not None and len(tokens) > max_token_length:
+            tokens = tokens[-max_token_length:]
+        out: list[int] = []
+        if context["add_type"]:
+            out.append(self.tokenizer.context_sos[context["context_type"]])
+        if context["add_class"]:
+            if "class" in context:
+                out.extend(context["class"])
+            if "extra_special_tokens" in context:
+                out.extend(context["extra_special_tokens"])
+        out.extend(tokens)
+        if context["add_type"] and add_type_end:
+            out.append(self.tokenizer.context_eos[context["context_type"]])
+        return out
+
+    def get_prompt(self, in_context, out_context, negative=False,
+                   max_token_length=None) -> list[int]:
+        head = out_context[0]
+        user_prompt = head["negative_class"] if negative else head["class"]
+        extra = head.get("extra_special_tokens", [])
+        pre_tokens = head.get("pre_tokens", [])
+        if max_token_length is not None:
+            pre_tokens = pre_tokens[-max_token_length:]
+
+        prefix: list[int] = []
+        for context in in_context:
+            prefix.extend(self.get_context_tokens(context, max_token_length))
+        prefix.extend(user_prompt)
+        prefix.extend(extra)
+        prefix.extend(pre_tokens)
+        if self.center_pad_decoder:
+            pad_n = self.tgt_seq_len // 2 - len(prefix)
+            prefix = [self.tokenizer.pad_id] * max(pad_n, 0) + prefix
+        prompt = prefix + [self.tokenizer.sos_id]
+        for i, context in enumerate(out_context):
+            prompt.extend(self.get_context_tokens(
+                context, max_token_length, i != len(out_context) - 1))
+        return prompt
+
+    def get_prompts(self, in_context, out_context):
+        cond = self.get_prompt(in_context, out_context)
+        uncond = (self.get_prompt(in_context, out_context, negative=True)
+                  if self.cfg_scale > 1 else None)
+        i = 0
+        max_length = self.tgt_seq_len
+        while len(cond) >= self.tgt_seq_len:
+            i += 1
+            if i > 10:
+                raise ValueError("Prompt is too long.")
+            max_length = max_length // 2
+            cond = self.get_prompt(in_context, out_context, max_token_length=max_length)
+            uncond = (self.get_prompt(in_context, out_context, negative=True,
+                                      max_token_length=max_length)
+                      if self.cfg_scale > 1 else None)
+        return cond, uncond
+
+    # -- result handling (processor.py:993) ---------------------------------------
+
+    def add_predicted_tokens_to_context(self, context: dict, predicted_tokens,
+                                        frame_time, trim_lookback=False,
+                                        trim_lookahead=False) -> None:
+        tok = self.tokenizer
+        predicted_tokens = list(np.asarray(predicted_tokens).tolist())
+        ct = context["context_type"]
+        while predicted_tokens and (
+                predicted_tokens[-1] == tok.eos_id
+                or (ct in tok.context_eos and predicted_tokens[-1] == tok.context_eos[ct])
+                or predicted_tokens[-1] == tok.pad_id):
+            predicted_tokens.pop()
+
+        lookback_end = tok.event_start[EventType.TIME_SHIFT] + int(
+            self.lookback_time / MILISECONDS_PER_STEP)
+        lookahead_start = tok.event_end[EventType.TIME_SHIFT] - int(
+            self.lookahead_time / MILISECONDS_PER_STEP)
+        if predicted_tokens:
+            last = predicted_tokens[-1]
+            hit_lookahead = trim_lookahead and lookahead_start <= last < tok.event_end[EventType.TIME_SHIFT]
+            hit_lookback = trim_lookback and tok.event_start[EventType.TIME_SHIFT] <= last < lookback_end
+            if hit_lookahead or hit_lookback:
+                predicted_tokens = predicted_tokens[:-2 if self.types_first else -1]
+
+        result = self._decode(predicted_tokens, frame_time)
+        context["events"] += result
+        update_event_times(context["events"], context["event_times"],
+                           frame_time + self.eos_time, self.types_first)
+        if trim_lookahead:
+            self._trim_events_after_time(context["events"], context["event_times"],
+                                         frame_time + self.lookahead_max_time)
+
+    # -- top-level generate --------------------------------------------------------
+
+    def generate(self, *, sequences, generation_config: GenerationConfig,
+                 in_context=None, out_context=None, beatmap_path=None,
+                 extra_in_context=None, verbose=True) -> list[tuple[list[Event], list[int]]]:
+        """sequences = (windows (N, samples), window_times (N,), song_length)."""
+        gen_in, gen_out, req_special = self._get_viable_template(
+            in_context=in_context, out_context=out_context,
+            extra_in_context=extra_in_context, gamemode=generation_config.gamemode)
+        out_context = out_context or [ContextType.MAP]
+
+        song_length = sequences[2]
+        in_data = self.get_in_context(
+            in_context=gen_in, beatmap_path=beatmap_path,
+            extra_in_context=extra_in_context, song_length=song_length)
+        out_data = self.get_out_context(
+            out_context=gen_out, generation_config=generation_config,
+            given_context=in_context or [], beatmap_path=beatmap_path,
+            extra_in_context=extra_in_context, song_length=song_length,
+            verbose=verbose)
+
+        cond = self.model_conditioning(generation_config)
+        if self.parallel:
+            self._generate_parallel(sequences, in_data, out_data, cond,
+                                    req_special, song_length, verbose)
+        else:
+            self._generate_sequential(sequences, in_data, out_data, cond,
+                                      req_special, song_length, verbose)
+
+        for context in out_data:
+            context["event_times"] = []
+            update_event_times(context["events"], context["event_times"],
+                               song_length, self.types_first)
+            if self.start_time is not None:
+                self._trim_events_before_time(context["events"],
+                                              context["event_times"],
+                                              self.start_time - 10)
+            if self.end_time is not None:
+                self._trim_events_after_time(context["events"],
+                                             context["event_times"],
+                                             self.end_time + 10)
+            if context["context_type"] == ContextType.MAP and self.add_positions:
+                context["events"], context["event_times"] = self._rescale_positions(
+                    context["events"], context["event_times"])
+
+        if self.add_to_beatmap and (self.start_time is not None or self.end_time is not None):
+            ref_parser = BeatmapParser(self.args.train, self.tokenizer)
+            ref_parser.position_precision = 1
+            ref_parser.position_split_axes = True
+            for context in out_data:
+                ref = self.get_context(
+                    context["context_type"], beatmap_path=beatmap_path,
+                    extra_in_context=extra_in_context, finished=True,
+                    parser=ref_parser, song_length=song_length)
+                if self.start_time is not None:
+                    ev, et = list(ref["events"]), list(ref["event_times"])
+                    self._trim_events_after_time(ev, et, self.start_time - 1)
+                    context["events"] = ev + context["events"]
+                    context["event_times"] = et + context["event_times"]
+                if self.end_time is not None:
+                    ev, et = list(ref["events"]), list(ref["event_times"])
+                    self._trim_events_before_time(ev, et, self.end_time + 1)
+                    context["events"] += ev
+                    context["event_times"] += et
+
+        for context in out_data:
+            if (context["context_type"] == ContextType.MAP
+                    and generation_config.gamemode == 3):
+                context["events"], context["event_times"] = self._convert_column_to_position(
+                    context["events"], context["event_times"], generation_config.keycount)
+
+        return [(c["events"], c["event_times"]) for c in out_data
+                if c["context_type"] in out_context]
+
+    def _window_song_position(self, frame_time, song_length):
+        return np.array([[frame_time / song_length,
+                          (frame_time + self.miliseconds_per_sequence) / song_length]],
+                        np.float32)
+
+    def _generate_sequential(self, sequences, in_data, out_data, cond,
+                             req_special, song_length, verbose):
+        windows, window_times = sequences[0], sequences[1]
+        for i, context in enumerate(out_data):
+            if context["finished"]:
+                continue
+            if verbose:
+                print(f"Generating {context['context_type'].value}")
+            iterator = range(len(windows))
+            if verbose:
+                from tqdm import tqdm  # noqa: PLC0415
+                iterator = tqdm(iterator)
+            for w in iterator:
+                frame_time = float(window_times[w])
+                trim_lookback = w != 0 and self.types_first and self.lookback_time > 0
+                trim_lookahead = w != len(windows) - 1
+
+                cond_prompt, uncond_prompt = self.get_prompts(
+                    self.prepare_context_sequences(in_data, frame_time, False, req_special),
+                    self.prepare_context_sequences(out_data[:i + 1], frame_time, True, req_special))
+
+                wcond = dict(cond)
+                if self.do_song_position_embed:
+                    wcond["song_position"] = self._window_song_position(frame_time, song_length)
+                enc = self.encode_audio(windows[w:w + 1], wcond)
+
+                results = self._run_engine(
+                    enc, np.asarray([cond_prompt], np.int32),
+                    np.asarray([uncond_prompt], np.int32) if uncond_prompt else None,
+                    self.lookback_time if trim_lookback else 0.0,
+                    self.lookahead_time if trim_lookahead else 0.0,
+                    context["context_type"])
+                self.add_predicted_tokens_to_context(
+                    context, results[0], frame_time, trim_lookback, trim_lookahead)
+
+    def _generate_parallel(self, sequences, in_data, out_data, cond,
+                           req_special, song_length, verbose):
+        windows, window_times = sequences[0], sequences[1]
+        n = len(windows)
+        prompts, uncond_prompts, song_positions = [], [], []
+        for w in range(n):
+            frame_time = float(window_times[w])
+            cp, up = self.get_prompts(
+                self.prepare_context_sequences(in_data, frame_time, False, req_special),
+                self.prepare_context_sequences(out_data[:1], frame_time, True, req_special))
+            prompts.append(cp)
+            uncond_prompts.append(up)
+            song_positions.append(self._window_song_position(frame_time, song_length)[0])
+
+        max_p = max(len(p) for p in prompts)
+        if self.cfg_scale > 1:
+            max_p = max(max_p, max(len(p) for p in uncond_prompts))
+
+        def stack(ps):
+            arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
+            for i, p in enumerate(ps):
+                arr[i, max_p - len(p):] = p
+            return arr
+
+        cond_arr = stack(prompts)
+        uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
+
+        bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
+        all_tokens: list[np.ndarray] = []
+        iterator = range(0, n, bsz)
+        if verbose:
+            from tqdm import tqdm  # noqa: PLC0415
+            iterator = tqdm(list(iterator))
+        for start in iterator:
+            stop = min(start + bsz, n)
+            wcond = {k: np.repeat(v, stop - start, axis=0) for k, v in cond.items()}
+            if self.do_song_position_embed:
+                wcond["song_position"] = np.stack(song_positions[start:stop])
+            enc = self.encode_audio(windows[start:stop], wcond)
+            results = self._run_engine(
+                enc, cond_arr[start:stop],
+                uncond_arr[start:stop] if uncond_arr is not None else None,
+                0.0, 0.0, out_data[0]["context_type"])
+            all_tokens.extend(results)
+
+        for w, seq in enumerate(all_tokens):
+            frame_time = float(window_times[w])
+            if self.add_out_context_types:
+                for context in out_data:
+                    s, e = self._get_token_context(
+                        seq, self.tokenizer.context_sos[context["context_type"]],
+                        self.tokenizer.context_eos[context["context_type"]])
+                    self.add_predicted_tokens_to_context(context, seq[s:e], frame_time)
+            else:
+                s, e = self._get_token_context(seq, self.tokenizer.sos_id,
+                                               self.tokenizer.eos_id)
+                self.add_predicted_tokens_to_context(out_data[0], seq[s:e], frame_time)
+
+    @staticmethod
+    def _get_token_context(tokens, sos, eos):
+        tokens = np.asarray(tokens)
+        starts = np.nonzero(tokens == sos)[0]
+        start = int(starts[0]) + 1 if len(starts) > 0 else 1
+        ends = np.nonzero(tokens == eos)[0]
+        end = int(ends[0]) if len(ends) > 0 else len(tokens)
+        return start, end
+
+    # -- position unpacking (processor.py:1231) -------------------------------------
+
+    def _rescale_positions(self, events, event_times):
+        new_events, new_times = [], []
+        offset = self.position_precision // 2 if self.position_precision > 1 else 0
+        for i, event in enumerate(events):
+            if event.type in (EventType.POS_X, EventType.POS_Y):
+                new_events.append(Event(event.type, event.value * self.position_precision))
+                new_times.append(event_times[i])
+            elif event.type == EventType.POS:
+                x = ((event.value % self.x_count) + self.x_min) * self.position_precision + offset
+                y = ((event.value // self.x_count) + self.y_min) * self.position_precision + offset
+                new_events.append(Event(EventType.POS_X, x))
+                new_events.append(Event(EventType.POS_Y, y))
+                new_times.extend([event_times[i], event_times[i]])
+            else:
+                new_events.append(event)
+                new_times.append(event_times[i])
+        return new_events, new_times
+
+    @staticmethod
+    def _convert_column_to_position(events, event_times, key_count):
+        new_events, new_times = [], []
+        for i, event in enumerate(events):
+            if event.type == EventType.MANIA_COLUMN:
+                x = int((event.value + 0.5) * 512 / key_count)
+                new_events.append(Event(EventType.POS_X, x))
+                new_events.append(Event(EventType.POS_Y, 192))
+                new_times.extend([event_times[i], event_times[i]])
+            else:
+                new_events.append(event)
+                new_times.append(event_times[i])
+        return new_events, new_times

@@ -1,0 +1,154 @@
+"""End-to-end slice tests: audio -> windows -> generate -> .osu."""
+
+import numpy as np
+import pytest
+
+from beatheritage_tpu.config import InferenceConfig, load_config
+from beatheritage_tpu.data.audio import load_audio, save_wav
+from beatheritage_tpu.events import ContextType, Event, EventType
+from beatheritage_tpu.inference.pipeline import generate, load_model, load_tokenizer
+from beatheritage_tpu.inference.postprocessor import BeatmapConfig, Postprocessor
+from beatheritage_tpu.inference.preprocessor import Preprocessor
+from beatheritage_tpu.osu import Beatmap, TimingPoint
+
+
+@pytest.fixture(scope="module")
+def args():
+    return load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "output_path=''", "generate_positions=false",
+    ])
+
+
+@pytest.fixture(scope="module")
+def wav(tmp_path_factory):
+    """4 s of clicks at 120 BPM over a tone."""
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    audio = 0.1 * np.sin(2 * np.pi * 220 * t)
+    for beat in np.arange(0, 4, 0.5):
+        i = int(beat * sr)
+        audio[i:i + 200] += np.hanning(200) * 0.8
+    path = tmp_path_factory.mktemp("audio") / "clicks.wav"
+    save_wav(path, audio, sr)
+    return str(path)
+
+
+def test_audio_roundtrip(wav):
+    samples = load_audio(wav, 16000)
+    assert abs(len(samples) - 4 * 16000) < 4
+    assert np.max(np.abs(samples)) == pytest.approx(1.0, abs=1e-3)
+    # resample to half rate
+    half = load_audio(wav, 8000)
+    assert abs(len(half) - 4 * 8000) < 4
+
+
+def test_preprocessor_windows(args, wav):
+    pre = Preprocessor(args, parallel=True)
+    samples = pre.load(wav)
+    windows, times, song_len = pre.segment(samples)
+    assert windows.shape[1] == (args.train.data.src_seq_len - 1) * args.train.data.hop_length
+    assert song_len == pytest.approx(4000, abs=10)
+    assert times[0] == 0
+    # parallel mode: non-overlapping
+    if len(times) > 1:
+        assert times[1] - times[0] == pytest.approx(pre.miliseconds_per_sequence, abs=1)
+
+
+def test_preprocessor_sequential_overlap(args, wav):
+    pre = Preprocessor(args, parallel=False)
+    samples = pre.load(wav)
+    windows, times, _ = pre.segment(samples)
+    if len(times) > 1:
+        stride = times[1] - times[0]
+        assert stride == pytest.approx(
+            pre.miliseconds_per_sequence * (1 - args.lookback - args.lookahead), abs=1)
+
+
+def test_postprocessor_basic_objects(args):
+    post = Postprocessor(args)
+    events = [
+        Event(EventType.CIRCLE), Event(EventType.TIME_SHIFT, 1000),
+        Event(EventType.SNAPPING, 1), Event(EventType.POS_X, 100),
+        Event(EventType.POS_Y, 100), Event(EventType.NEW_COMBO),
+        Event(EventType.SLIDER_HEAD), Event(EventType.TIME_SHIFT, 1500),
+        Event(EventType.SNAPPING, 1), Event(EventType.POS_X, 200),
+        Event(EventType.POS_Y, 200),
+        Event(EventType.BEZIER_ANCHOR), Event(EventType.POS_X, 250),
+        Event(EventType.POS_Y, 250),
+        Event(EventType.LAST_ANCHOR), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.POS_X, 300), Event(EventType.POS_Y, 200),
+        # LAST_ANCHOR time marks the end of the first span; equal slider-end
+        # time means a single slide
+        Event(EventType.SLIDER_END), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.POS_X, 300), Event(EventType.POS_Y, 200),
+    ]
+    config = BeatmapConfig(title="T", artist="A", creator="C", version="V",
+                           audio_filename="a.wav")
+    result = post.generate(events, config)
+    bm = Beatmap.from_string(result)
+    objs = bm.hit_objects()
+    assert len(objs) == 2
+    assert objs[0].time == 1000 and objs[0].new_combo
+    assert objs[1].time == 1500
+    from beatheritage_tpu.osu import Slider
+    assert isinstance(objs[1], Slider)
+    assert objs[1].repeat == 1
+    # slider duration should be ~500ms via solved SV
+    assert objs[1].duration == pytest.approx(500, rel=0.2)
+
+
+def test_postprocessor_timing_inference_constant_bpm(args):
+    """Beat markers at 500ms intervals must infer a 120 BPM redline."""
+    post = Postprocessor(args)
+    events = []
+    for i, t in enumerate(range(1000, 5001, 500)):
+        etype = (EventType.TIMING_POINT if i == 0
+                 else EventType.MEASURE if i % 4 == 0 else EventType.BEAT)
+        events.append(Event(etype))
+        events.append(Event(EventType.TIME_SHIFT, t))
+    timing = post.generate_timing(events)
+    redlines = [tp for tp in timing if tp.parent is None]
+    assert len(redlines) == 1
+    assert redlines[0].offset == 1000
+    assert redlines[0].ms_per_beat == pytest.approx(500, abs=1)
+
+
+def test_postprocessor_timing_inference_bpm_change(args):
+    """A tempo change mid-way should produce a second redline."""
+    post = Postprocessor(args)
+    events = []
+    times = list(range(1000, 3001, 500)) + list(range(3400, 5001, 400))
+    for i, t in enumerate(times):
+        etype = EventType.TIMING_POINT if i == 0 else EventType.BEAT
+        events.append(Event(etype))
+        events.append(Event(EventType.TIME_SHIFT, t))
+    timing = post.generate_timing(events)
+    redlines = [tp for tp in timing if tp.parent is None]
+    assert len(redlines) >= 2
+    mpbs = sorted({round(tp.ms_per_beat) for tp in redlines})
+    assert 400 in mpbs and 500 in mpbs
+
+
+def test_resnap(args):
+    post = Postprocessor(args)
+    timing = [TimingPoint(offset=0.0, ms_per_beat=500.0)]
+    events = [Event(EventType.TIME_SHIFT, 1004), Event(EventType.SNAPPING, 1),
+              Event(EventType.TIME_SHIFT, 1247), Event(EventType.SNAPPING, 2)]
+    out = post.resnap_events(events, timing)
+    assert out[0].value == 1000
+    assert out[2].value == 1250
+
+
+def test_full_pipeline_writes_valid_osu(args, wav, tmp_path):
+    """The flagship slice: song -> windows -> decode (random weights) ->
+    timing inference -> .osu that reparses."""
+    result, path, _ = generate(
+        args, audio_path=wav, output_path=str(tmp_path), verbose=False)
+    assert path is not None
+    bm = Beatmap.from_path(path)
+    assert bm.timing_points, "generated beatmap must contain timing points"
+    # with random weights objects may be few, but the file must parse and
+    # carry our metadata
+    assert bm.audio_filename == "clicks.wav"
+    text = open(path, encoding="utf-8-sig").read()
+    assert "[HitObjects]" in text and "[TimingPoints]" in text
