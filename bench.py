@@ -1,0 +1,95 @@
+"""Benchmark: flagship-model windowed generation throughput on one chip.
+
+Measures audio-minutes mapped per second on the real device: a full
+32.768 s audio window (src_seq_len 4096 mel frames) through the jitted
+encoder + decode engine with a representative 2048-token decode budget
+(real maps run ~2-3k tokens per window). The first run compiles; the timed
+run reuses the cached program.
+
+Baseline (BASELINE.md north star): full-song (3 min) ranked-quality beatmap
+in <10 s on one v5e chip => 0.3 audio-min/sec. vs_baseline > 1 beats it.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+DECODE_BUDGET = 2048  # new tokens per window (representative density)
+BASELINE_AUDIO_MIN_PER_SEC = 0.3  # 3-minute song in 10 s
+
+
+def main() -> None:
+    from beatheritage_tpu.config import TrainConfig, load_config
+    from beatheritage_tpu.decode import SamplerSettings, TokenTables
+    from beatheritage_tpu.decode.engine import generate as engine_generate
+    from beatheritage_tpu.events import ContextType
+    from beatheritage_tpu.models import ModelDims, encode, init_params
+    from beatheritage_tpu.tokenizer import Tokenizer
+
+    cfg = load_config(TrainConfig, "train", "beatheritage_v1")
+    tokenizer = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tokenizer)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    tables = TokenTables.from_tokenizer(tokenizer)
+
+    n_samples = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+    window_seconds = n_samples / cfg.model.spectrogram.sample_rate
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, n_samples)), jnp.float32)
+
+    prompt_len = 64
+    prompt = np.full((1, prompt_len), tokenizer.pad_id, np.int32)
+    prompt[0, -2] = tokenizer.sos_id
+    prompt[0, -1] = tokenizer.context_sos[ContextType.TIMING]
+    mask = prompt != tokenizer.pad_id
+    max_len = prompt_len + DECODE_BUDGET
+
+    settings = SamplerSettings(
+        temperature=0.85, top_p=0.92, top_k=50, repetition_penalty=1.1,
+        timing_temperature=0.1, types_first=cfg.data.types_first,
+        do_sample=True)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+
+    enc_fn = jax.jit(lambda p, a: encode(p, dims, cfg, a, dtype=jnp.bfloat16))
+
+    def run(key):
+        enc_hidden = enc_fn(params, audio)
+        out = engine_generate(
+            params, dims, settings, tables, enc_hidden,
+            jnp.asarray(prompt), jnp.asarray(mask), eos_mask, key,
+            max_len=max_len, dtype=jnp.bfloat16)
+        jax.block_until_ready(out["tokens"])
+        return out
+
+    run(jax.random.PRNGKey(0))  # compile + warm up
+    t0 = time.perf_counter()
+    out = run(jax.random.PRNGKey(1))
+    elapsed = time.perf_counter() - t0
+
+    generated = int(out["length"]) - prompt_len
+    audio_min_per_sec = (window_seconds / 60.0) / elapsed
+    print(json.dumps({
+        "metric": "audio_min_mapped_per_sec_per_chip",
+        "value": round(audio_min_per_sec, 4),
+        "unit": "audio-min/s",
+        "vs_baseline": round(audio_min_per_sec / BASELINE_AUDIO_MIN_PER_SEC, 3),
+        "detail": {
+            "window_seconds": round(window_seconds, 3),
+            "elapsed_seconds": round(elapsed, 3),
+            "tokens_generated": generated,
+            "tokens_per_sec": round(generated / elapsed, 1),
+            "model": "beatheritage_v1 (whisper-small-class, random weights)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

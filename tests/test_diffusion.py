@@ -1,0 +1,172 @@
+"""DiT + diffusion math + refinement pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beatheritage_tpu.config import InferenceConfig, load_config
+from beatheritage_tpu.diffusion import (
+    DiffusionPipeline,
+    DiffusionSchedule,
+    DiffusionTokenizer,
+    p_sample_loop,
+    q_sample,
+    repeat_type,
+    space_timesteps,
+    training_losses,
+)
+from beatheritage_tpu.events import Event, EventType
+from beatheritage_tpu.models.dit import (
+    DiTDims,
+    banded_attention_mask,
+    dit_forward,
+    dit_forward_cfg,
+    init_dit_params,
+)
+from beatheritage_tpu.osu import TimingPoint
+
+
+@pytest.fixture(scope="module")
+def dit():
+    dims = DiTDims.from_name("DiT-test", context_size=64, class_size=16)
+    params = init_dit_params(jax.random.PRNGKey(0), dims)
+    return dims, params
+
+
+def test_dit_shapes_and_zero_init(dit):
+    dims, params = dit
+    n, t = 2, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, 2))
+    ts = jnp.array([5, 10])
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t, 64))
+    y = jax.random.normal(jax.random.PRNGKey(3), (n, 16))
+    out = dit_forward(params, dims, x, ts, c, y)
+    assert out.shape == (n, t, 4)  # learn_sigma: eps + var
+    # zero-initialized final layer => output exactly zero at init
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_dit_cfg_guidance_combines_eps(dit):
+    dims, params = dit
+    # give final layer nonzero weights so outputs differ
+    params = jax.tree.map(lambda x: x + 0.01, params)
+    n, t = 4, 8  # 2 cond + 2 uncond
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, 2))
+    ts = jnp.full((n,), 5)
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t, 64))
+    y = jax.random.normal(jax.random.PRNGKey(3), (n, 16))
+    out = dit_forward_cfg(params, dims, x, ts, c, y, cfg_scale=2.0)
+    assert out.shape == (n, t, 4)
+    # both halves carry the same guided epsilon
+    np.testing.assert_allclose(np.asarray(out[:2, :, :2]),
+                               np.asarray(out[2:, :, :2]), atol=1e-5)
+
+
+def test_banded_mask():
+    m = banded_attention_mask(10, 2)
+    assert m[0, 2] and not m[0, 3]
+    assert m[5, 5] and m[5, 7] and not m[5, 8]
+
+
+def test_space_timesteps_deciles():
+    # reference default: [100,0,...] => 100 steps from the first decile
+    steps = space_timesteps(1000, [100, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    assert len(steps) == 100
+    assert max(steps) < 100
+    steps2 = space_timesteps(1000, [10, 8, 6, 4, 2] + [0] * 95)
+    assert len(steps2) == 30
+    assert max(steps2) < 50
+
+
+def test_schedule_quantities_monotone():
+    s = DiffusionSchedule.create("squaredcos_cap_v2", 1000)
+    assert s.num_steps == 1000
+    ac = s.alphas_cumprod
+    assert np.all(np.diff(ac) < 0) and ac[0] > 0.99 and ac[-1] < 0.01
+    r = DiffusionSchedule.create("squaredcos_cap_v2", 1000,
+                                 respacing=[10] + [0] * 9)
+    assert r.num_steps == 10
+    assert list(r.timestep_map) == sorted(r.timestep_map)
+
+
+def test_q_sample_interpolates():
+    s = DiffusionSchedule.create("linear", 100)
+    x0 = jnp.ones((2, 4, 2))
+    noise = jnp.zeros((2, 4, 2))
+    x_t = q_sample(s, x0, jnp.array([0, 99]), noise)
+    assert float(x_t[0, 0, 0]) > 0.99  # t=0: nearly clean
+    assert float(x_t[1, 0, 0]) < 0.2   # t=99: mostly destroyed
+
+
+def test_p_sample_loop_runs_and_bounded(dit):
+    dims, params = dit
+    s = DiffusionSchedule.create("squaredcos_cap_v2", 100, respacing=[10] + [0] * 9)
+    n, t = 2, 8
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t, 64))
+    y = jax.random.normal(jax.random.PRNGKey(3), (n, 16))
+
+    def model_fn(x, ts):
+        return dit_forward(params, dims, x, ts, c, y)
+
+    noise = jax.random.normal(jax.random.PRNGKey(4), (n, t, 2))
+    out = p_sample_loop(s, model_fn, noise, jax.random.PRNGKey(5))
+    assert out.shape == noise.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_training_losses_finite_and_grad(dit):
+    dims, params = dit
+    s = DiffusionSchedule.create("squaredcos_cap_v2", 100)
+    n, t = 2, 8
+    c = jax.random.normal(jax.random.PRNGKey(2), (n, t, 64))
+    y = jax.random.normal(jax.random.PRNGKey(3), (n, 16))
+    x0 = jax.random.uniform(jax.random.PRNGKey(6), (n, t, 2), minval=-1, maxval=1)
+    ts = jnp.array([5, 50])
+
+    def loss(params):
+        out = training_losses(
+            s, lambda x, tt: dit_forward(params, dims, x, tt, c, y),
+            x0, ts, jax.random.PRNGKey(7))
+        return out["loss"]
+
+    value, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(value))
+    gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm)
+
+
+def test_repeat_type_buckets():
+    assert [repeat_type(r) for r in (1, 2, 3, 4, 5, 6, 7)] == [0, 1, 2, 3, 4, 3, 4]
+
+
+def test_pipeline_fills_positions():
+    args = load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "diff_cfg_scale=1.0", "max_seq_len=32", "overlap_buffer=4",
+        "timesteps=[4]",
+    ])
+    # build a small event stream with distances (what the decoder emits
+    # before refinement) including a slider
+    events = [
+        Event(EventType.CIRCLE), Event(EventType.TIME_SHIFT, 1000),
+        Event(EventType.DISTANCE, 50),
+        Event(EventType.SLIDER_HEAD), Event(EventType.TIME_SHIFT, 1500),
+        Event(EventType.DISTANCE, 80),
+        Event(EventType.BEZIER_ANCHOR), Event(EventType.DISTANCE, 40),
+        Event(EventType.LAST_ANCHOR), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.DISTANCE, 40),
+        Event(EventType.SLIDER_END), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.DISTANCE, 10),
+    ]
+    timing = [TimingPoint(offset=0.0, ms_per_beat=500.0)]
+    pipeline = DiffusionPipeline(args)
+    out = pipeline.generate(events, __import__(
+        "beatheritage_tpu.inference.processor", fromlist=["GenerationConfig"]
+    ).GenerationConfig(), timing, verbose=False)
+    types = [e.type for e in out]
+    assert EventType.DISTANCE not in types
+    assert types.count(EventType.POS_X) == 5
+    xs = [e.value for e in out if e.type == EventType.POS_X]
+    ys = [e.value for e in out if e.type == EventType.POS_Y]
+    assert all(-256 <= v <= 768 for v in xs)
+    assert all(-256 <= v <= 640 for v in ys)

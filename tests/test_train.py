@@ -1,0 +1,169 @@
+"""Training runtime tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beatheritage_tpu.config import TrainConfig, load_config
+from beatheritage_tpu.models import ModelDims, init_params
+from beatheritage_tpu.parallel import build_mesh
+from beatheritage_tpu.tokenizer import Tokenizer
+from beatheritage_tpu.train import (
+    Trainer,
+    build_optimizer,
+    build_schedule,
+    init_train_state,
+    make_train_step,
+    newton_schulz_orthogonalize,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+        "optim.warmup_steps=2", "optim.total_steps=16", "optim.grad_acc=1",
+    ])
+    tok = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tok)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    return cfg, tok, dims, params
+
+
+def make_batch(cfg, tok, batch=8, tgt=16):
+    rng = np.random.default_rng(0)
+    n_samples = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+    ids = rng.integers(3, tok.vocab_size_out, (batch, tgt)).astype(np.int32)
+    labels = np.roll(ids, -1, axis=1).astype(np.int32)
+    labels[:, -1] = -100
+    return {
+        "frames": rng.standard_normal((batch, n_samples)).astype(np.float32),
+        "decoder_input_ids": ids,
+        "labels": labels,
+        "decoder_attention_mask": np.ones((batch, tgt), np.int32),
+    }
+
+
+def test_mesh_covers_virtual_devices():
+    mesh = build_mesh(-1, 1)
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = build_mesh(4, 2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_newton_schulz_orthogonalizes():
+    g = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    o = np.asarray(newton_schulz_orthogonalize(g, steps=10), dtype=np.float64)
+    gram = o.T @ o
+    # singular values should approach 1 (NS5 converges to ~U(0.7,1.3) band)
+    sv = np.sqrt(np.linalg.eigvalsh(gram))
+    assert np.all(sv > 0.3) and np.all(sv < 1.7)
+
+
+def test_schedule_shape():
+    cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+        "optim.warmup_steps=10", "optim.total_steps=100",
+        "optim.base_lr=1e-2", "optim.final_cosine=1e-5",
+    ])
+    s = build_schedule(cfg.optim)
+    assert float(s(0)) == pytest.approx(5e-3, rel=1e-3)   # warmup starts at 0.5x
+    assert float(s(10)) == pytest.approx(1e-2, rel=1e-2)  # peak after warmup
+    assert float(s(100)) == pytest.approx(1e-5, rel=0.3)  # decayed
+
+
+@pytest.mark.parametrize("opt_name", ["adamw", "adamwscale", "muon"])
+def test_optimizer_reduces_loss(setup, opt_name):
+    cfg, tok, dims, params = setup
+    cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+        f"optim.name={opt_name}", "optim.base_lr=1e-3",
+        "optim.warmup_steps=0", "optim.total_steps=100",
+    ])
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    opt_state = optimizer.init(params)
+
+    # toy quadratic-free check: run two steps of the real train step and see
+    # the loss go down on a repeated batch
+    mesh = build_mesh(-1, 1)
+    step = make_train_step(dims, cfg, optimizer, mesh, dtype=jnp.float32)
+    state = init_train_state(params, optimizer)
+    batch = make_batch(cfg, tok)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_over_data_axis(setup):
+    """Batch sharded over 8 devices must produce the same loss as replicated
+    single-device execution (allreduce correctness)."""
+    cfg, tok, dims, params = setup
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    batch = make_batch(cfg, tok, batch=8)
+
+    mesh8 = build_mesh(8, 1)
+    step8 = make_train_step(dims, cfg, optimizer, mesh8, dtype=jnp.float32)
+    state8 = init_train_state(params, optimizer)
+    _, m8 = step8(state8, batch)
+
+    mesh1 = build_mesh(1, 1, devices=jax.devices()[:1])
+    step1 = make_train_step(dims, cfg, optimizer, mesh1, dtype=jnp.float32)
+    state1 = init_train_state(params, optimizer)
+    _, m1 = step1(state1, batch)
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+    assert float(m8["grad_l2"]) == pytest.approx(float(m1["grad_l2"]), rel=1e-3)
+
+
+def test_grad_accumulation_matches_large_batch(setup):
+    cfg, tok, dims, params = setup
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    mesh = build_mesh(-1, 1)
+
+    batch = make_batch(cfg, tok, batch=16)
+    step_full = make_train_step(dims, cfg, optimizer, mesh, dtype=jnp.float32)
+    _, m_full = step_full(init_train_state(params, optimizer), batch)
+
+    # microbatch size must stay divisible by the data axis (8 devices)
+    micro = {k: v.reshape(2, 8, *v.shape[1:]) for k, v in batch.items()}
+    step_acc = make_train_step(dims, cfg, optimizer, mesh, grad_acc=2,
+                               dtype=jnp.float32)
+    _, m_acc = step_acc(init_train_state(params, optimizer), micro)
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-3)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    cfg, tok, dims, params = setup
+    from beatheritage_tpu.train.checkpoints import (
+        restore_train_state, save_params, restore_params, save_train_state)
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    state = init_train_state(params, optimizer)
+
+    save_train_state(tmp_path, state, tok)
+    assert (tmp_path / "tokenizer.json").is_file()
+    restored = restore_train_state(tmp_path, state)
+    assert restored is not None
+    chex_assert_trees_equal(restored.params, state.params)
+
+    p2 = restore_params(tmp_path, template=params)
+    chex_assert_trees_equal(p2, params)
+
+
+def chex_assert_trees_equal(a, b):
+    import chex
+    chex.assert_trees_all_close(a, b, atol=0)
+
+
+def test_trainer_fit_runs(setup, tmp_path):
+    cfg, tok, dims, params = setup
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok,
+                      checkpoint_dir=None, log_every=1)
+    batch = make_batch(cfg, tok, batch=8)
+    metrics = trainer.fit(iter([batch, batch]), max_steps=2)
+    assert "loss" in metrics and np.isfinite(metrics["loss"])
+    assert int(trainer.state.step) == 2
