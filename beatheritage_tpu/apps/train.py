@@ -1,0 +1,94 @@
+"""Training entry point for the seq2seq model.
+
+(reference: osuT5/train.py:31) Usage:
+
+    python -m beatheritage_tpu.apps.train -cn v30 \
+        data.train_dataset_path=/data/MMRS checkpoint_path=./ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="train the beatmap generator")
+    parser.add_argument("-cn", "--config-name", default="default")
+    parser.add_argument("overrides", nargs="*")
+    ns = parser.parse_args(argv)
+
+    from ..config import TrainConfig, load_config
+    from ..data.dataset import (
+        MmrsDataset, SharedTrainState, load_mmrs_metadata, load_ors_metadata,
+        repeating_batch_iterator)
+    from ..data.parser import BeatmapParser
+    from ..models import ModelDims, init_params
+    from ..tokenizer import Tokenizer
+    from ..train.train_loop import Trainer
+    from ..train.checkpoints import restore_train_state
+
+    cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
+
+    tokenizer = Tokenizer(cfg)
+    if cfg.data.train_dataset_path:
+        loader = (load_ors_metadata if cfg.data.dataset_type == "ors"
+                  else load_mmrs_metadata)
+        tokenizer.load_dataset_indices(loader(cfg.data.train_dataset_path))
+        # dataset indices change the vocab (mapper/descriptor counts):
+        # rebuild with the populated tokenizer state
+        rebuilt = Tokenizer(cfg)
+        rebuilt.beatmap_idx = tokenizer.beatmap_idx
+        rebuilt.beatmap_mapper = tokenizer.beatmap_mapper
+        rebuilt.mapper_idx = tokenizer.mapper_idx
+        rebuilt.num_mapper_classes = tokenizer.num_mapper_classes
+        rebuilt.beatmap_descriptors = tokenizer.beatmap_descriptors
+        rebuilt.descriptor_idx = tokenizer.descriptor_idx
+        rebuilt.num_descriptor_classes = tokenizer.num_descriptor_classes
+        tokenizer = Tokenizer(cfg)
+        tokenizer.load_state_dict(rebuilt.state_dict())
+
+    parser_obj = BeatmapParser(cfg, tokenizer)
+    dims = ModelDims.from_config(cfg, tokenizer)
+    params = init_params(jax.random.PRNGKey(cfg.seed), dims)
+
+    shared = SharedTrainState()
+
+    def on_metrics(step, metrics):
+        shared.current_train_step = step
+        shared.current_loss = metrics.get("loss", float("inf"))
+        print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tokenizer,
+                      checkpoint_dir=cfg.checkpoint_path or None,
+                      log_every=cfg.logging.every_steps, on_metrics=on_metrics)
+
+    if cfg.checkpoint_path:
+        restored = restore_train_state(cfg.checkpoint_path, trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            print(f"resumed from step {int(restored.step)}")
+
+    def make_dataset():
+        return MmrsDataset(cfg.data, parser_obj, tokenizer, shared=shared)
+
+    micro = cfg.optim.batch_size // max(cfg.optim.grad_acc, 1)
+    batches = repeating_batch_iterator(make_dataset, micro)
+    if cfg.optim.grad_acc > 1:
+        def accumulate(src):
+            import numpy as np  # noqa: PLC0415
+            while True:
+                group = [next(src) for _ in range(cfg.optim.grad_acc)]
+                yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+        batches = accumulate(batches)
+
+    trainer.fit(batches, max_steps=cfg.optim.total_steps)
+    if cfg.checkpoint_path:
+        trainer.save_checkpoint()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,15 +66,16 @@ def main() -> None:
             params, dims, settings, tables, enc_hidden,
             jnp.asarray(prompt), jnp.asarray(mask), eos_mask, key,
             max_len=max_len, dtype=jnp.bfloat16)
-        jax.block_until_ready(out["tokens"])
-        return out
+        # materialize on host: block_until_ready alone does not synchronize
+        # through the axon tunnel
+        return np.asarray(out["tokens"]), int(out["length"])
 
     run(jax.random.PRNGKey(0))  # compile + warm up
     t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
+    _, length = run(jax.random.PRNGKey(1))
     elapsed = time.perf_counter() - t0
 
-    generated = int(out["length"]) - prompt_len
+    generated = length - prompt_len
     audio_min_per_sec = (window_seconds / 60.0) / elapsed
     print(json.dumps({
         "metric": "audio_min_mapped_per_sec_per_chip",
