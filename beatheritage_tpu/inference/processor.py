@@ -248,6 +248,120 @@ class Processor:
         length = int(out["length"])
         return [tokens[i, p:length] for i in range(b)]
 
+    def _teacher_forced_logits(self, enc_hidden, prompts: np.ndarray) -> np.ndarray:
+        """Teacher-forced logits over left-padded prompts (B, P) -> (B, P, V),
+        through the cached decoder (position-transparent left padding)."""
+        import jax  # noqa: PLC0415
+        from ..decode.engine import decoder_cached_forward  # noqa: PLC0415
+        from ..decode.kv_cache import init_self_cache, precompute_cross_kv  # noqa: PLC0415
+
+        b, p = prompts.shape
+        mask = prompts != self.tokenizer.pad_id
+        cache = init_self_cache(self.dims, b, p, self.dtype)
+        ck, cv = precompute_cross_kv(self.params, self.dims, enc_hidden, self.dtype)
+        positions = jnp.clip(jnp.cumsum(jnp.asarray(mask, jnp.int32), axis=1) - 1, 0)
+        logits, _ = decoder_cached_forward(
+            self.params, self.dims, jnp.asarray(prompts, jnp.int32), cache, ck,
+            cv, positions, 0, jnp.asarray(mask), p, self.dtype)
+        return np.asarray(logits, np.float32)
+
+    def ai_mod(self, *, sequences, generation_config: GenerationConfig,
+               beatmap_path=None, verbose: bool = True) -> list[dict]:
+        """Teacher-forced surprisal pass for MaiMod (processor.py:416):
+        runs the full beatmap through the model as decoder input and records
+        per-token relative surprisal + the argmax suggestion."""
+        gen_in, gen_out, req_special = self._get_viable_template(
+            gamemode=generation_config.gamemode)
+        song_length = sequences[2]
+        in_data = self.get_in_context(
+            in_context=gen_in, beatmap_path=beatmap_path, song_length=song_length)
+        out_data = self.get_out_context(
+            out_context=gen_out, generation_config=generation_config,
+            given_context=gen_out, beatmap_path=beatmap_path,
+            song_length=song_length, verbose=verbose)
+        cond = self.model_conditioning(generation_config)
+
+        windows, window_times = sequences[0], sequences[1]
+        n = len(windows)
+        prompts, song_positions = [], []
+        for w in range(n):
+            frame_time = float(window_times[w])
+            cp, _ = self.get_prompts(
+                self.prepare_context_sequences(in_data, frame_time, False, req_special),
+                self.prepare_context_sequences(out_data, frame_time, True, req_special))
+            prompts.append(cp)
+            song_positions.append(self._window_song_position(frame_time, song_length)[0])
+        max_p = max(len(p) for p in prompts)
+        padded = np.full((n, max_p), self.tokenizer.pad_id, np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, max_p - len(p):] = p
+
+        for context in out_data:
+            context["surprisals"] = np.zeros(len(context["events"]), np.float32)
+            context["expected_events"] = np.array(context["events"], dtype=object)
+
+        bsz = max(1, self.max_batch_size)
+        iterator = range(0, n, bsz)
+        if verbose:
+            from tqdm import tqdm  # noqa: PLC0415
+            iterator = tqdm(list(iterator))
+        for start in iterator:
+            stop = min(start + bsz, n)
+            wcond = {k: np.repeat(v, stop - start, axis=0) for k, v in cond.items()}
+            if self.do_song_position_embed:
+                wcond["song_position"] = np.stack(song_positions[start:stop])
+            enc = self.encode_audio(windows[start:stop], wcond)
+            logits_batch = self._teacher_forced_logits(enc, padded[start:stop])
+            for row, w in enumerate(range(start, stop)):
+                self._ai_mod_score_window(
+                    out_data, prompts[w], logits_batch[row], max_p,
+                    float(window_times[w]), w, n)
+        return out_data
+
+    def _ai_mod_score_window(self, out_data, seq_prompt, logits, max_p,
+                             frame_time, w, n_windows):
+        padding = max_p - len(seq_prompt)
+        trim_lookback = w != 0
+        trim_lookahead = w != n_windows - 1
+        for context in out_data:
+            s, e = self._get_events_time_range(
+                context["event_times"], frame_time,
+                frame_time + self.miliseconds_per_sequence)
+            events = context["events"][s:e]
+            tokens = np.asarray(self._encode(events, frame_time))
+            window_start_t = frame_time + self.lookback_time if trim_lookback else frame_time
+            window_end_t = (frame_time + self.lookahead_max_time if trim_lookahead
+                            else frame_time + self.miliseconds_per_sequence)
+            s2, e2 = self._get_events_time_range(
+                context["event_times"][s:e], window_start_t, window_end_t)
+            if self.add_out_context_types:
+                cs, ce = self._get_token_context(
+                    np.asarray(seq_prompt),
+                    self.tokenizer.context_sos[context["context_type"]],
+                    self.tokenizer.context_eos[context["context_type"]])
+            else:
+                cs, ce = self._get_token_context(
+                    np.asarray(seq_prompt), self.tokenizer.sos_id, self.tokenizer.eos_id)
+            # logits at position i predict token i+1: shift back by one
+            win_logits = logits[cs + padding - 1:ce + padding - 1]
+            if len(win_logits) != len(events):
+                continue  # prompt was trimmed by halving; skip this window
+            tokens = tokens[s2:e2]
+            win_logits = win_logits[s2:e2]
+            if len(tokens) == 0:
+                continue
+            x = win_logits - win_logits.max(axis=-1, keepdims=True)
+            probs = np.exp(x)
+            probs /= probs.sum(axis=-1, keepdims=True)
+            entropy = -np.sum(probs * np.log2(probs + 1e-10), axis=-1)
+            token_probs = probs[np.arange(len(tokens)), tokens]
+            surprisal = -np.log2(token_probs + 1e-10)
+            relative = np.where(entropy > 0, surprisal / entropy, 0.0)
+            suggested = self._decode(np.argmax(win_logits, axis=-1), frame_time,
+                                     allow_non_events=True)
+            context["surprisals"][s:e][s2:e2] = relative
+            context["expected_events"][s:e][s2:e2] = np.array(suggested, dtype=object)[:len(tokens)]
+
     # -- template/context selection (processor.py:575) ------------------------
 
     def _get_viable_template(self, in_context=None, out_context=None,

@@ -1,0 +1,307 @@
+"""Super timing generator: slow-but-accurate variable-BPM timing.
+
+(reference: osuT5/osuT5/inference/super_timing_generator.py:15) N
+randomly-offset greedy timing passes vote into per-millisecond
+beat/measure/timing-point histograms; Gaussian smoothing + peak finding
+recover beat locations; local BPM voting + range normalization pick a tempo
+per peak; a bidirectional walk from the most prominent peaks lays down the
+beat grid; measure/meter repair follows by timing-signature voting.
+
+All model passes run through the parallel-mode Processor (batched windows on
+device); the voting/walking stays host-side numpy/scipy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter1d
+from scipy.signal import find_peaks
+
+from ..data.event_utils import get_groups
+from ..events import BEAT_TYPES, ContextType, Event, EventType
+from .preprocessor import Preprocessor
+from .processor import GenerationConfig, Processor
+
+MILISECONDS_PER_SECOND = 1000
+MILISECONDS_PER_STEP = 10
+
+
+class SuperTimingGenerator:
+    def __init__(self, args, params, tokenizer):
+        self.args = args
+        self.preprocessor = Preprocessor(args, parallel=True)
+        self.processor = Processor(args, params, tokenizer,
+                                   cfg_scale=args.timer_cfg_scale)
+        # greedy, parallel windows for the voting passes
+        self.processor.parallel = True
+        self.processor.settings_base = dict(
+            self.processor.settings_base,
+            do_sample=False, top_p=1.0, top_k=50, temperature=1.0)
+        self.bpm_change_threshold = args.timer_bpm_threshold
+        self.types_first = args.train.data.types_first
+        self.iterations = args.timer_iterations
+        self.sample_rate = args.train.model.spectrogram.sample_rate
+        frame_seq_len = args.train.data.src_seq_len - 1
+        frame_size = args.train.model.spectrogram.hop_length
+        self.miliseconds_per_sequence = (frame_seq_len * frame_size
+                                         * MILISECONDS_PER_SECOND / self.sample_rate)
+
+    def generate(self, audio: np.ndarray, generation_config: GenerationConfig,
+                 verbose: bool = False):
+        num_ms = len(audio) * MILISECONDS_PER_SECOND // self.sample_rate
+        beats_hist = np.zeros(num_ms, int)
+        measures_hist = np.zeros(num_ms, int)
+        timing_points_hist = np.zeros(num_ms, int)
+        tpbs: list[tuple[int, int]] = []  # (time, ticks-per-beat) votes
+        measure_counts: list[tuple[int, int]] = []
+
+        if verbose:
+            print("Generating timing")
+        iterator = range(self.iterations)
+        if verbose:
+            from tqdm import tqdm  # noqa: PLC0415
+            iterator = tqdm(list(iterator))
+        rng = np.random.default_rng(self.args.seed if self.args.seed is not None else 0)
+        for _ in iterator:
+            half = int(self.miliseconds_per_sequence // 2)
+            audio_offset = int(rng.integers(-half, half))
+            begin_pad = max(0, audio_offset * self.sample_rate // MILISECONDS_PER_SECOND)
+            begin_remove = max(0, -audio_offset * self.sample_rate // MILISECONDS_PER_SECOND)
+            sequences = self.preprocessor.segment(audio[begin_remove:], begin_pad, 0)
+            events, _ = self.processor.generate(
+                sequences=sequences, generation_config=generation_config,
+                in_context=[ContextType.NONE],
+                out_context=[ContextType.MAP] if self.args.train.data.add_timing
+                else [ContextType.TIMING],
+                verbose=False)[0]
+            self._accumulate_votes(events, audio_offset, num_ms, beats_hist,
+                                   measures_hist, timing_points_hist, tpbs,
+                                   measure_counts)
+
+        beats_hist = gaussian_filter1d(beats_hist.astype(float), 10) / self.iterations * 50
+        measures_hist = gaussian_filter1d(measures_hist.astype(float), 10) / self.iterations * 50
+        timing_points_hist = gaussian_filter1d(timing_points_hist.astype(float), 10) / self.iterations * 50
+        tpbs.sort(key=lambda x: x[0])
+        if not tpbs:
+            return [], []
+
+        signal = beats_hist + measures_hist + timing_points_hist * 2
+        peakind, properties = find_peaks(signal, distance=50, prominence=0.1,
+                                         rel_height=1, width=2, wlen=50)
+        if len(peakind) == 0:
+            return [], []
+        prominences = properties["prominences"]
+
+        peak_bpms = self._peak_bpms(peakind, tpbs, 200, self.bpm_change_threshold)
+        peak_bpms_defined = ~np.isnan(peak_bpms)
+        median_bpm = 60_000 / (np.median(np.array(tpbs)[:, 1]) * MILISECONDS_PER_STEP)
+        # fold octave errors into [median/1.5, median*1.5]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            peak_bpms = peak_bpms / np.ceil(peak_bpms / (median_bpm * 1.5))
+            peak_bpms = peak_bpms * np.ceil((median_bpm / 1.5) / peak_bpms)
+        peak_bpms = self._fill_missing_bpms(peak_bpms, median_bpm)
+
+        beat_times = self._walk_beats(peakind, prominences, peak_bpms,
+                                      peak_bpms_defined, num_ms)
+        beat_types = self._classify_beats(beat_times, beats_hist, measures_hist,
+                                          timing_points_hist)
+        self._repair_meter(beat_times, beat_types, measures_hist,
+                           timing_points_hist, measure_counts)
+        return self._to_events(beat_times, beat_types)
+
+    # -- vote accumulation -------------------------------------------------------
+
+    def _accumulate_votes(self, events, audio_offset, num_ms, beats_hist,
+                          measures_hist, timing_points_hist, tpbs,
+                          measure_counts):
+        groups, _ = get_groups(events, types_first=self.types_first)
+        last_beat_time = None
+        last_group_type = None
+        last_measure_time = None
+        measure_counter = None
+        for group in groups:
+            time = group.time - audio_offset
+            if time < 0 or time >= num_ms or group.event_type not in BEAT_TYPES:
+                if group.event_type not in BEAT_TYPES:
+                    continue
+                continue
+            if group.event_type == EventType.BEAT:
+                beats_hist[time] += 1
+                if measure_counter is not None:
+                    measure_counter += 1
+            elif group.event_type == EventType.MEASURE:
+                measures_hist[time] += 1
+                if measure_counter is not None:
+                    measure_counts.append((last_measure_time, measure_counter))
+                last_measure_time = time
+                measure_counter = 1
+            elif group.event_type == EventType.TIMING_POINT:
+                timing_points_hist[time] += 1
+                last_measure_time = time
+                measure_counter = 1
+            if (last_beat_time is not None and last_beat_time != time
+                    and not (group.event_type == EventType.TIMING_POINT
+                             and last_group_type != EventType.TIMING_POINT)):
+                tpb = (time - last_beat_time) // MILISECONDS_PER_STEP
+                if 20 < tpb < 100:
+                    tpbs.append((last_beat_time, tpb))
+            last_beat_time = time
+            last_group_type = group.event_type
+
+    # -- BPM assignment ------------------------------------------------------------
+
+    @staticmethod
+    def _peak_bpms(peakind, tpbs, w, thresh):
+        out = []
+        for peak in peakind:
+            nearby = [tpb for time, tpb in tpbs if peak - w < time < peak + w]
+            hist, bins = np.histogram(nearby, bins=range(20, 100))
+            if hist.sum() > 0 and hist.max() > thresh * hist.sum():
+                out.append(60_000 / (bins[np.argmax(hist)] * MILISECONDS_PER_STEP))
+            else:
+                out.append(np.nan)
+        return np.array(out)
+
+    @staticmethod
+    def _fill_missing_bpms(peak_bpms, median_bpm):
+        for i, bpm in enumerate(peak_bpms):
+            if not np.isnan(bpm):
+                continue
+            left = i - 1
+            while left >= 0 and np.isnan(peak_bpms[left]):
+                left -= 1
+            right = i + 1
+            while right < len(peak_bpms) and np.isnan(peak_bpms[right]):
+                right += 1
+            if left >= 0 and (right >= len(peak_bpms) or i - left <= right - i):
+                peak_bpms[i] = peak_bpms[left]
+            elif right < len(peak_bpms):
+                peak_bpms[i] = peak_bpms[right]
+            else:
+                peak_bpms[i] = median_bpm
+        return peak_bpms
+
+    # -- beat walking -----------------------------------------------------------------
+
+    def _walk_beats(self, peakind, prominences, peak_bpms, peak_bpms_defined,
+                    num_ms) -> list[int]:
+        peaks = list(zip(peakind, prominences, peak_bpms, peak_bpms_defined))
+        beat_times: list[int] = []
+        to_process = sorted(peaks, key=lambda x: x[1], reverse=True)
+        processed_regions: list[tuple] = []
+
+        def remove_range(t1, t2):
+            if t1 > t2:
+                t1, t2 = t2, t1
+            to_process[:] = [p for p in to_process if not t1 <= p[0] <= t2]
+
+        def loss(peak, time):
+            return abs(peak[0] - time) / peak[1]
+
+        def walk(start_time, period_ms, direction):
+            time = start_time
+            while True:
+                previous_time = time
+                time += direction * period_ms
+                if not 0 <= time < num_ms:
+                    remove_range(previous_time, time)
+                    break
+                nearest = min(peaks, key=lambda x: loss(x, time))
+                if loss(nearest, time) < 60:
+                    time = nearest[0]
+                    period_ms = 60_000 / nearest[2]
+                elif loss(nearest, time) < 300 and nearest[3]:
+                    # a beat nearby but on a different tempo: stop here
+                    time -= direction * period_ms
+                    break
+                if any(t1 <= time <= t2 for t1, t2 in processed_regions):
+                    break
+                beat_times.append(int(time))
+            m = 200  # guard band against >300 BPM seams
+            lo, hi = ((start_time - m, time + m) if direction > 0
+                      else (time - m, start_time + m))
+            processed_regions.append((lo, hi))
+            remove_range(lo, hi)
+
+        while to_process:
+            peak = to_process.pop(0)
+            beat_times.append(int(peak[0]))
+            period = 60_000 / peak[2]
+            walk(peak[0], period, 1)
+            walk(peak[0], period, -1)
+        return sorted(beat_times)
+
+    # -- classification and meter repair -------------------------------------------------
+
+    @staticmethod
+    def _classify_beats(beat_times, beats_hist, measures_hist,
+                        timing_points_hist) -> list[EventType]:
+        types = []
+        w = 10
+        for t in beat_times:
+            beat = beats_hist[t - w:t + w].sum()
+            measure = measures_hist[t - w:t + w].sum()
+            timing_point = timing_points_hist[t - w:t + w].sum()
+            total = beat + measure + timing_point
+            if timing_point > beat and timing_point > measure and total > 1:
+                types.append(EventType.TIMING_POINT)
+            else:
+                types.append(EventType.BEAT)
+        return types
+
+    @staticmethod
+    def _repair_meter(beat_times, beat_types, measures_hist,
+                      timing_points_hist, measure_counts) -> None:
+        if not measure_counts:
+            return
+        timing_signature = int(np.median([sig for _, sig in measure_counts]))
+        if timing_signature <= 0:
+            return
+        w = 10
+        cooldown = 0
+        for i, beat_type in enumerate(list(beat_types)):
+            if cooldown > 0:
+                cooldown -= 1
+                continue
+            if cooldown < 0:
+                cooldown += 1
+                if cooldown == 0 and beat_type != EventType.TIMING_POINT:
+                    beat_types[i] = EventType.MEASURE
+                    cooldown = timing_signature - 1
+                continue
+            if beat_type == EventType.TIMING_POINT:
+                continue
+            offset_scores = []
+            for k in range(timing_signature):
+                score = 0.0
+                count = 0
+                for j in range(-3, 4):
+                    index = i + j * timing_signature + k
+                    if index < 0 or index >= len(beat_times):
+                        continue
+                    if any(beat_types[x] == EventType.TIMING_POINT
+                           for x in np.arange(1, abs(j)) * np.sign(j)):
+                        continue
+                    other = beat_times[index]
+                    score += (measures_hist[other - w:other + w].sum()
+                              + timing_points_hist[other - w:other + w].sum())
+                    count += 1
+                offset_scores.append(0 if count == 0 else score / count)
+            if np.argmax(offset_scores) == 0:
+                beat_types[i] = EventType.MEASURE
+                cooldown = timing_signature - 1
+            else:
+                beat_types[i] = EventType.BEAT
+                cooldown = -int(np.argmax(offset_scores))
+
+    def _to_events(self, beat_times, beat_types):
+        events, event_times = [], []
+        for t, bt in zip(beat_times, beat_types):
+            if self.types_first:
+                events.append(Event(bt))
+                events.append(Event(EventType.TIME_SHIFT, t))
+            else:
+                events.append(Event(EventType.TIME_SHIFT, t))
+                events.append(Event(bt))
+            event_times.extend([t, t])
+        return events, event_times
