@@ -1,0 +1,151 @@
+"""Mapper classifier (FID feature extractor), pure pytrees.
+
+Re-design of the reference OsuClassifier (reference:
+classifier/libs/model/model.py:62): a Whisper-style encoder-decoder over
+(mel frames, map tokens); the decoder's last hidden states project to a
+feature space whose mean-pool both classifies the mapper and serves as the
+FID feature vector (calc_fid.py).
+
+Reuses the seq2seq building blocks; absolute learned positions are replaced
+by the same RoPE layers (positions are what the features condition on, and
+training from scratch keeps us free to pick the TPU-friendly variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mel import mel_spectrogram
+from .embedders import layer_norm
+from .transformer import ModelDims, _conv1d, _ffn, _linear, _self_attention, _init_encoder_layer, _init_decoder_layer, _ln, _dense
+from ..ops.attention import dot_product_attention, merge_heads, split_heads
+from ..ops.rope import rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierDims:
+    d_model: int = 512
+    num_heads: int = 8
+    d_ff: int = 2048
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    n_mels: int = 80
+    vocab_size: int = 4000
+    num_classes: int = 3731
+    proj_size: int = 128
+    max_source_positions: int = 512
+    max_target_positions: int = 2048
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.num_heads
+
+    def to_model_dims(self) -> ModelDims:
+        """Adapter so transformer building blocks can be reused."""
+        return ModelDims(
+            d_model=self.d_model, num_heads=self.num_heads, d_ff=self.d_ff,
+            encoder_layers=self.encoder_layers, decoder_layers=self.decoder_layers,
+            n_mels=self.n_mels, cond_size=0, cond_dim=0,
+            vocab_size_in=self.vocab_size, vocab_size_out=self.vocab_size,
+            num_classes=0, num_mappers=0, rope_theta=self.rope_theta,
+            max_source_positions=self.max_source_positions,
+            max_target_positions=self.max_target_positions,
+            rope_type="static", rope_encoder_scaling=1.0, rope_decoder_scaling=1.0,
+            project_encoder_input=True, do_style_embed=False,
+            do_difficulty_embed=False, do_mapper_embed=False,
+            do_song_position_embed=False, rhythm_token_start=0,
+            rhythm_token_end=0, rhythm_weight=1.0, label_smoothing=0.0)
+
+
+def init_classifier_params(key, dims: ClassifierDims, std: float = 0.02) -> dict:
+    md = dims.to_model_dims()
+    keys = jax.random.split(key, 8)
+    enc_keys = jax.random.split(keys[0], dims.encoder_layers)
+    dec_keys = jax.random.split(keys[1], dims.decoder_layers)
+    return {
+        "enc_proj": _dense(keys[2], dims.n_mels, dims.d_model, std),
+        "dec_embed": jax.random.normal(keys[3], (dims.vocab_size, dims.d_model)),
+        "encoder": {
+            "conv1": {"w": jax.random.normal(keys[4], (3, dims.d_model, dims.d_model)) * std,
+                      "b": jnp.zeros(dims.d_model)},
+            "conv2": {"w": jax.random.normal(keys[5], (3, dims.d_model, dims.d_model)) * std,
+                      "b": jnp.zeros(dims.d_model)},
+            "layers": jax.vmap(lambda k: _init_encoder_layer(k, md, std))(enc_keys),
+            "lnf": _ln(dims.d_model),
+        },
+        "decoder": {
+            "layers": jax.vmap(lambda k: _init_decoder_layer(k, md, std))(dec_keys),
+            "lnf": _ln(dims.d_model),
+        },
+        "projector": _dense(keys[6], dims.d_model, dims.proj_size, std),
+        "classifier": _dense(keys[7], dims.proj_size, dims.num_classes, std),
+    }
+
+
+def classifier_forward(params, dims: ClassifierDims, audio: jnp.ndarray,
+                       decoder_input_ids: jnp.ndarray, *, spec_cfg=None,
+                       dtype=jnp.bfloat16) -> dict:
+    """(audio (B, n_samples), map tokens (B, T)) -> {logits, features}.
+
+    features (B, proj_size) is the mean-pooled projected decoder state used
+    for FID (classifier/libs/model/model.py:130)."""
+    md = dims.to_model_dims()
+    if spec_cfg is not None:
+        from ..ops.mel import mel_from_config  # noqa: PLC0415
+        mel = mel_from_config(audio, spec_cfg, dtype=dtype)
+    else:
+        mel = mel_spectrogram(audio, n_mels=dims.n_mels, log_scale=True,
+                              f_min=20, dtype=dtype)
+    x = _linear(mel, params["enc_proj"])
+    x = jax.nn.gelu(_conv1d(x, params["encoder"]["conv1"]), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["encoder"]["conv2"], stride=2), approximate=False)
+    t_enc = x.shape[1]
+    cos, sin = rope_cos_sin(jnp.arange(t_enc), md.head_dim, theta=md.rope_theta,
+                            rope_type="static", dtype=dtype)
+
+    def enc_layer(h, layer):
+        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+                                cos, sin, md.num_heads, is_causal=False)
+        h = h + _ffn(layer, layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"]))
+        return h, None
+
+    x, _ = jax.lax.scan(enc_layer, x, params["encoder"]["layers"])
+    enc = layer_norm(x, params["encoder"]["lnf"]["g"], params["encoder"]["lnf"]["b"])
+
+    y = params["dec_embed"].astype(dtype)[decoder_input_ids]
+    t_dec = y.shape[1]
+    dcos, dsin = rope_cos_sin(jnp.arange(t_dec), md.head_dim, theta=md.rope_theta,
+                              rope_type="static", dtype=dtype)
+
+    def dec_layer(h, layer):
+        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+                                dcos, dsin, md.num_heads, is_causal=True)
+        hn = layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"])
+        q = split_heads(_linear(hn, layer["xq"]), md.num_heads)
+        k = split_heads(_linear(enc, layer["xk"]), md.num_heads)
+        v = split_heads(_linear(enc, layer["xv"]), md.num_heads)
+        h = h + _linear(merge_heads(dot_product_attention(q, k, v)), layer["xo"])
+        h = h + _ffn(layer, layer_norm(h, layer["ln3"]["g"], layer["ln3"]["b"]))
+        return h, None
+
+    y, _ = jax.lax.scan(dec_layer, y, params["decoder"]["layers"])
+    y = layer_norm(y, params["decoder"]["lnf"]["g"], params["decoder"]["lnf"]["b"])
+
+    projected = _linear(y, params["projector"])       # (B, T, proj)
+    features = projected.mean(axis=1)                 # (B, proj)
+    logits = _linear(features, params["classifier"])  # (B, classes)
+    return {"logits": logits.astype(jnp.float32),
+            "features": features.astype(jnp.float32)}
+
+
+def classifier_loss(params, dims: ClassifierDims, audio, decoder_input_ids,
+                    labels, dtype=jnp.float32):
+    out = classifier_forward(params, dims, audio, decoder_input_ids, dtype=dtype)
+    logp = jax.nn.log_softmax(out["logits"], axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    acc = (jnp.argmax(out["logits"], -1) == labels).mean()
+    return nll.mean(), {"accuracy": acc, "features": out["features"]}

@@ -15,11 +15,20 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# persistent compile cache: the remote-compile tunnel takes minutes for the
+# decode loop; cache hits bring reruns down to seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 DECODE_BUDGET = 2048  # new tokens per window (representative density)
