@@ -136,7 +136,11 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
         beatmap_config.audio_filename = Path(audio_path).name
 
     preprocessor = Preprocessor(args, parallel=args.parallel)
-    processor = Processor(args, params, tokenizer)
+    client = None
+    if args.use_server:
+        from .server import InferenceClient  # noqa: PLC0415
+        client = InferenceClient(args)
+    processor = Processor(args, params, tokenizer, client=client)
     postprocessor = Postprocessor(args)
 
     audio = preprocessor.load(audio_path)

@@ -102,12 +102,16 @@ def _bucket(n: int, minimum: int = 64) -> int:
 
 class Processor:
     def __init__(self, args, params, tokenizer: Tokenizer,
-                 cfg_scale: Optional[float] = None, verbose: bool = True):
-        """args is an InferenceConfig; params the model pytree."""
+                 cfg_scale: Optional[float] = None, verbose: bool = True,
+                 client=None):
+        """args is an InferenceConfig; params the model pytree; `client` is
+        an optional InferenceClient that routes engine calls to the warm IPC
+        server instead of running them in-process (reference server.py)."""
         self.args = args
         self.params = params
         self.tokenizer = tokenizer
         self.verbose = verbose
+        self.client = client
         d = args.train.data
 
         self.dims = ModelDims.from_config(args.train, tokenizer)
@@ -209,6 +213,23 @@ class Processor:
             kwargs["song_position"] = jnp.asarray(cond.get(
                 "song_position", np.zeros((b, 2))), jnp.float32)
         return self._encode_jit(self.params, audio=jnp.asarray(frames), **kwargs)
+
+    def _dispatch(self, frames: np.ndarray, wcond: dict,
+                  cond_prompt: np.ndarray, uncond_prompt: Optional[np.ndarray],
+                  lookback_time: float, lookahead_time: float,
+                  context_type: Optional[ContextType]) -> list[np.ndarray]:
+        """Run a window batch locally, or through the IPC server when a
+        client is attached."""
+        if self.client is not None:
+            model_kwargs = dict(wcond, frames=frames, cond_prompt=cond_prompt,
+                                uncond_prompt=uncond_prompt)
+            generate_kwargs = dict(lookback_time=lookback_time,
+                                   lookahead_time=lookahead_time,
+                                   context_type=context_type)
+            return self.client.generate(model_kwargs, generate_kwargs)
+        enc = self.encode_audio(frames, wcond)
+        return self._run_engine(enc, cond_prompt, uncond_prompt,
+                                lookback_time, lookahead_time, context_type)
 
     def _run_engine(self, enc_hidden, cond_prompt: np.ndarray,
                     uncond_prompt: Optional[np.ndarray],
@@ -908,10 +929,8 @@ class Processor:
                 wcond = dict(cond)
                 if self.do_song_position_embed:
                     wcond["song_position"] = self._window_song_position(frame_time, song_length)
-                enc = self.encode_audio(windows[w:w + 1], wcond)
-
-                results = self._run_engine(
-                    enc, np.asarray([cond_prompt], np.int32),
+                results = self._dispatch(
+                    windows[w:w + 1], wcond, np.asarray([cond_prompt], np.int32),
                     np.asarray([uncond_prompt], np.int32) if uncond_prompt else None,
                     self.lookback_time if trim_lookback else 0.0,
                     self.lookahead_time if trim_lookahead else 0.0,
@@ -957,9 +976,8 @@ class Processor:
             wcond = {k: np.repeat(v, stop - start, axis=0) for k, v in cond.items()}
             if self.do_song_position_embed:
                 wcond["song_position"] = np.stack(song_positions[start:stop])
-            enc = self.encode_audio(windows[start:stop], wcond)
-            results = self._run_engine(
-                enc, cond_arr[start:stop],
+            results = self._dispatch(
+                windows[start:stop], wcond, cond_arr[start:stop],
                 uncond_arr[start:stop] if uncond_arr is not None else None,
                 0.0, 0.0, out_data[0]["context_type"])
             all_tokens.extend(results)

@@ -1,0 +1,72 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beatheritage_tpu.ops.attention import dot_product_attention
+from beatheritage_tpu.ops.mel import mel_spectrogram
+from beatheritage_tpu.ops.pallas.flash_attention import flash_attention
+from beatheritage_tpu.ops.pallas.mel import fused_mel_spectrogram
+
+
+def test_flash_attention_matches_xla():
+    b, h, t, d = 2, 4, 128, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, t, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, t, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, t, d))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_attention_causal_matches_xla():
+    b, h, t, d = 1, 2, 96, 64
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, h, t, d))
+    k = jax.random.normal(jax.random.PRNGKey(4), (b, h, t, d))
+    v = jax.random.normal(jax.random.PRNGKey(5), (b, h, t, d))
+    ref = dot_product_attention(q, k, v, is_causal=True)
+    out = flash_attention(q, k, v, is_causal=True, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_attention_ragged_tq():
+    """Tq not a multiple of block_q gets padded and trimmed correctly."""
+    b, h, tq, tk, d = 1, 2, 50, 64, 64
+    q = jax.random.normal(jax.random.PRNGKey(6), (b, h, tq, d))
+    k = jax.random.normal(jax.random.PRNGKey(7), (b, h, tk, d))
+    v = jax.random.normal(jax.random.PRNGKey(8), (b, h, tk, d))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=32, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_attention_rejects_masks():
+    q = jnp.zeros((1, 1, 8, 64))
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, q, q, mask=jnp.ones((1, 1, 8, 8), bool), interpret=True)
+
+
+def test_fused_mel_matches_xla():
+    x = np.random.default_rng(0).standard_normal((2, 16000)).astype(np.float32)
+    ref = mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80, hop_length=128,
+                          f_min=20, f_max=8000, log_scale=True, stft="matmul")
+    out = fused_mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80,
+                                hop_length=128, f_min=20, f_max=8000,
+                                log_scale=True, block_t=64, interpret=True,
+                                dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=3e-2)
+
+
+def test_fused_mel_reflect_pad():
+    x = np.random.default_rng(1).standard_normal((1, 4096)).astype(np.float32)
+    ref = mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80, hop_length=128,
+                          f_min=20, f_max=8000, pad_mode="reflect", stft="fft")
+    out = fused_mel_spectrogram(jnp.asarray(x), n_fft=1024, n_mels=80,
+                                hop_length=128, f_min=20, f_max=8000,
+                                pad_mode="reflect", block_t=32, interpret=True,
+                                dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
