@@ -1,0 +1,102 @@
+"""DiT (osu-diffusion) training entry point.
+
+(reference: osu_diffusion/train.py:90) Accelerate-DDP loop replaced by one
+jitted pjit step over the mesh; EMA decay .9999 (update_ema:32); timesteps
+sampled t ~ U(0, max_diffusion_step) — the refiner regime trained only on
+the last slice of the noise schedule (train.py:192).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="train the DiT coordinate refiner")
+    parser.add_argument("-cn", "--config-name", default="v1")
+    parser.add_argument("overrides", nargs="*")
+    ns = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..config import DiffusionTrainConfig, load_config
+    from ..data.dataset import batch_iterator
+    from ..data.diffusion_dataset import DiffusionDataset
+    from ..diffusion.sampler import training_losses
+    from ..diffusion.schedule import DiffusionSchedule
+    from ..diffusion.tokenizer import DiffusionTokenizer
+    from ..models.dit import DiTDims, dit_forward, init_dit_params
+    from ..parallel.mesh import batch_sharding, build_mesh, replicated
+    from ..train.optim import build_schedule
+
+    cfg = load_config(DiffusionTrainConfig, "diffusion", ns.config_name,
+                      overrides=ns.overrides)
+    tokenizer = DiffusionTokenizer(cfg)
+    dims = DiTDims.from_name(cfg.model.model,
+                             context_size=cfg.model.context_size,
+                             class_size=max(tokenizer.num_tokens, 1))
+    params = init_dit_params(jax.random.PRNGKey(cfg.seed), dims)
+    ema = jax.tree.map(jnp.copy, params)
+
+    schedule = DiffusionSchedule.create(cfg.model.noise_schedule,
+                                        cfg.model.diffusion_steps)
+    lr = build_schedule(cfg.optim)
+    optimizer = optax.chain(optax.clip_by_global_norm(cfg.optim.gradient_clip),
+                            optax.adamw(lr, weight_decay=cfg.optim.weight_decay))
+    opt_state = optimizer.init(params)
+    mesh = build_mesh(-1, 1)
+    max_t = cfg.model.max_diffusion_step
+
+    def step_fn(params, opt_state, ema, batch, key):
+        k_t, k_noise = jax.random.split(key)
+        b = batch["x"].shape[0]
+        ts = jax.random.randint(k_t, (b,), 0, max_t)
+
+        def loss_fn(p):
+            out = training_losses(
+                schedule,
+                lambda x, t: dit_forward(p, dims, x, t, batch["c"], batch["y"]),
+                batch["x"], ts, k_noise, l1=cfg.model.l1_loss)
+            return out["loss"], out
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: 0.9999 * e + 0.0001 * p, ema, params)
+        return params, opt_state, ema, aux
+
+    step = jax.jit(step_fn, in_shardings=(replicated(mesh),) * 3
+                   + (batch_sharding(mesh), None),
+                   out_shardings=(replicated(mesh),) * 3 + (None,))
+
+    dataset = DiffusionDataset(cfg, tokenizer)
+    key = jax.random.PRNGKey(cfg.seed)
+    t0 = time.time()
+    for i, batch in enumerate(batch_iterator(dataset, cfg.optim.batch_size)):
+        if i >= cfg.optim.total_steps:
+            break
+        key, sub = jax.random.split(key)
+        params, opt_state, ema, aux = step(params, opt_state, ema, batch, sub)
+        if (i + 1) % cfg.logging.every_steps == 0:
+            print(f"step {i + 1}: loss={float(aux['loss']):.4f} "
+                  f"mse={float(aux['mse']):.4f} vb={float(aux['vb']):.4f} "
+                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)")
+            t0 = time.time()
+        if cfg.checkpoint_path and (i + 1) % cfg.checkpoint.every_steps == 0:
+            from ..train.checkpoints import save_params  # noqa: PLC0415
+            save_params(cfg.checkpoint_path, {"params": params, "ema": ema})
+    if cfg.checkpoint_path:
+        from ..train.checkpoints import save_params  # noqa: PLC0415
+        save_params(cfg.checkpoint_path, {"params": params, "ema": ema})
+        tokenizer.save_pretrained(cfg.checkpoint_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

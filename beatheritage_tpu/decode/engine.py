@@ -82,12 +82,25 @@ def _lin(x, p):
     return out
 
 
+def fuse_qkv(params, dtype=jnp.bfloat16) -> dict:
+    """Precompute fused self-attention QKV weights per layer (one matmul per
+    step instead of three; k has no bias so its slot is zero)."""
+    layers = params["decoder"]["layers"]
+    w = jnp.concatenate([layers["q"]["w"], layers["k"]["w"], layers["v"]["w"]],
+                        axis=-1).astype(dtype)  # (L, D, 3D)
+    d = layers["q"]["w"].shape[-1]
+    b = jnp.concatenate([layers["q"]["b"], jnp.zeros_like(layers["q"]["b"]),
+                         layers["v"]["b"]], axis=-1).astype(dtype)
+    return {"w": w, "b": b, "d": d}
+
+
 def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
                            cache: dict, cross_k: jnp.ndarray,
                            cross_v: jnp.ndarray, positions: jnp.ndarray,
                            slot_start, kv_valid: jnp.ndarray,
                            rope_seq_len: int, dtype=jnp.bfloat16,
-                           cross_mask: Optional[jnp.ndarray] = None
+                           cross_mask: Optional[jnp.ndarray] = None,
+                           qkv: Optional[dict] = None
                            ) -> tuple[jnp.ndarray, dict]:
     """Run the decoder on a chunk of C tokens, reading/writing the KV cache.
 
@@ -95,10 +108,17 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
     the first cache slot this chunk occupies; kv_valid (B, T_max) marks
     attendable slots (False on left padding). Works for both the prompt
     prefill (C=P) and single-token steps (C=1).
+
+    The full (L, B, H, T, D) cache arrays ride through the layer scan as
+    CARRIES updated with dynamic_update_slice — XLA aliases them in place.
+    Returning them per layer as stacked scan outputs would copy the whole
+    cache every step, which dominates decode time.
     """
     b, c = token_ids.shape
     t_max = cache["k"].shape[3]
     x = params["dec_embed"].astype(dtype)[token_ids]
+    if qkv is None:
+        qkv = fuse_qkv(params, dtype)
 
     cos, sin = rope_cos_sin(
         positions, dims.head_dim, theta=dims.rope_theta, seq_len=rope_seq_len,
@@ -113,18 +133,25 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
     qidx = jnp.arange(c)[None, None, :, None]
     causal = slots <= (slot_start + qidx)
     self_mask = causal & kv_valid[:, None, None, :]
+    scale = dims.head_dim ** -0.5
+    d = dims.d_model
 
-    def layer_fn(x, xs):
-        layer, k_cache, v_cache, ck, cv = xs
-        # self-attention with cache write
+    def layer_fn(carry, xs):
+        x, k_all, v_all = carry
+        layer, wqkv, bqkv, ck, cv, li = xs
+        # fused self-attention projections + cache write (in place)
         h = _ln(x, layer["ln1"])
-        q = split_heads(_lin(h, layer["q"]), dims.num_heads)
-        k = split_heads(_lin(h, layer["k"]), dims.num_heads)
-        v = split_heads(_lin(h, layer["v"]), dims.num_heads)
+        qkv_out = h @ wqkv + bqkv
+        q = split_heads(qkv_out[..., :d], dims.num_heads)
+        k = split_heads(qkv_out[..., d:2 * d], dims.num_heads)
+        v = split_heads(qkv_out[..., 2 * d:], dims.num_heads)
         q, k = apply_rope(q, k, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, slot_start, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, slot_start, 0))
-        scale = dims.head_dim ** -0.5
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None], (li, 0, 0, slot_start, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None], (li, 0, 0, slot_start, 0))
+        k_cache = jax.lax.dynamic_slice_in_dim(k_all, li, 1, 0)[0]
+        v_cache = jax.lax.dynamic_slice_in_dim(v_all, li, 1, 0)[0]
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
                             preferred_element_type=jnp.float32) * scale
         logits = jnp.where(self_mask, logits, NEG_INF)
@@ -148,11 +175,13 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
         # feed-forward
         h = _ln(x, layer["ln3"])
         x = x + _lin(jax.nn.gelu(_lin(h, layer["ff1"]), approximate=False), layer["ff2"])
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["decoder"]["layers"], cache["k"], cache["v"],
-                      cross_k, cross_v))
+    n_layers = dims.decoder_layers
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer_fn, (x, cache["k"], cache["v"]),
+        (params["decoder"]["layers"], qkv["w"], qkv["b"], cross_k, cross_v,
+         jnp.arange(n_layers)))
     x = _ln(x, params["decoder"]["lnf"])
     logits = (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
@@ -205,6 +234,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
 
     cache = init_self_cache(dims, bm, max_len, dtype)
     cross_k, cross_v = precompute_cross_kv(params, dims, enc_hidden, dtype)
+    qkv = fuse_qkv(params, dtype)
 
     # tokens buffer holds prompt then generated ids
     tokens = jnp.full((bm, max_len), tables.pad_id, jnp.int32)
@@ -216,7 +246,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     positions_prompt = jnp.clip(jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
     prefill_logits, cache = decoder_cached_forward(
         params, dims, prompt.astype(jnp.int32), cache, cross_k, cross_v,
-        positions_prompt, 0, kv_valid, max_len, dtype, cross_mask=enc_mask)
+        positions_prompt, 0, kv_valid, max_len, dtype, cross_mask=enc_mask,
+        qkv=qkv)
     pending = prefill_logits[:, -1]
 
     cond_prompt = prompt[:b].astype(jnp.int32)
@@ -280,7 +311,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         step_logits, cache = decoder_cached_forward(
             params, dims, tokens[:, step][:, None], s["cache"], cross_k,
             cross_v, s["pos_next"][:, None], step, kv_valid, max_len, dtype,
-            cross_mask=enc_mask)
+            cross_mask=enc_mask, qkv=qkv)
 
         return {
             "tokens": tokens,
