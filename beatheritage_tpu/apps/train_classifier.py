@@ -1,0 +1,87 @@
+"""Mapper-classifier training entry point.
+
+(reference: classifier/train.py — PyTorch Lightning trainer replaced by a
+jitted optax loop over the mesh.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="train the mapper classifier")
+    parser.add_argument("-cn", "--config-name", default="tiny")
+    parser.add_argument("overrides", nargs="*")
+    ns = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..config import TrainConfig, load_config
+    from ..data.classifier_dataset import ClassifierDataset
+    from ..data.dataset import batch_iterator, load_mmrs_metadata
+    from ..data.parser import BeatmapParser
+    from ..models.classifier import (ClassifierDims, classifier_loss,
+                                     init_classifier_params)
+    from ..parallel.mesh import batch_sharding, build_mesh, replicated
+    from ..tokenizer import Tokenizer
+    from ..train.optim import build_schedule
+
+    cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
+    tokenizer = Tokenizer(cfg)
+    if cfg.data.train_dataset_path:
+        tokenizer.load_dataset_indices(load_mmrs_metadata(cfg.data.train_dataset_path))
+    parser_obj = BeatmapParser(cfg, tokenizer)
+
+    dims = ClassifierDims(
+        d_model=cfg.model.arch.d_model, num_heads=cfg.model.arch.num_heads,
+        d_ff=cfg.model.arch.d_ff, encoder_layers=cfg.model.arch.encoder_layers,
+        decoder_layers=cfg.model.arch.decoder_layers,
+        n_mels=cfg.model.spectrogram.n_mels, vocab_size=tokenizer.vocab_size_in,
+        num_classes=max(tokenizer.num_mapper_classes + 1, 2))
+    params = init_classifier_params(jax.random.PRNGKey(cfg.seed), dims)
+
+    lr = build_schedule(cfg.optim)
+    optimizer = optax.chain(optax.clip_by_global_norm(cfg.optim.gradient_clip),
+                            optax.adamw(lr))
+    opt_state = optimizer.init(params)
+    mesh = build_mesh(-1, 1)
+
+    def step_fn(params, opt_state, batch):
+        def loss_fn(p):
+            loss, aux = classifier_loss(p, dims, batch["audio"],
+                                        batch["tokens"], batch["label"])
+            return loss, aux
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux["accuracy"]
+
+    step = jax.jit(step_fn, in_shardings=(replicated(mesh), replicated(mesh),
+                                          batch_sharding(mesh)),
+                   out_shardings=(replicated(mesh), replicated(mesh), None, None))
+
+    dataset = ClassifierDataset(cfg.data, parser_obj, tokenizer)
+    t0 = time.time()
+    for i, batch in enumerate(batch_iterator(dataset, cfg.optim.batch_size)):
+        if i >= cfg.optim.total_steps:
+            break
+        params, opt_state, loss, acc = step(params, opt_state, batch)
+        if (i + 1) % cfg.logging.every_steps == 0:
+            print(f"step {i + 1}: loss={float(loss):.4f} acc={float(acc):.4f} "
+                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)")
+            t0 = time.time()
+        if cfg.checkpoint_path and (i + 1) % cfg.checkpoint.every_steps == 0:
+            from ..train.checkpoints import save_params  # noqa: PLC0415
+            save_params(cfg.checkpoint_path, params)
+    if cfg.checkpoint_path:
+        from ..train.checkpoints import save_params  # noqa: PLC0415
+        save_params(cfg.checkpoint_path, params)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,6 +74,11 @@ def load_audio(path, sample_rate: int = 16000, speed: float = 1.0,
     reference's frame-rate trick (data_utils.py:92)."""
     path = Path(path)
     if path.suffix.lower() == ".wav":
+        # prefer the C++ decode+resample path when built (data-loader hot loop)
+        from ..native import decode_wav_native  # noqa: PLC0415
+        native = decode_wav_native(path.read_bytes(), sample_rate, speed, normalize)
+        if native is not None:
+            return native
         samples, sr = _read_wav(path)
     else:
         samples, sr = _read_via_ffmpeg(path, sample_rate), sample_rate

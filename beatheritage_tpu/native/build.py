@@ -1,0 +1,23 @@
+"""Build the native audio library: python -m beatheritage_tpu.native.build"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+
+def build(verbose: bool = True) -> Path:
+    src = Path(__file__).parent / "audio_native.cpp"
+    out = Path(__file__).parent / "libbhaudio.so"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           str(src), "-o", str(out)]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return out
+
+
+if __name__ == "__main__":
+    build()
+    sys.exit(0)

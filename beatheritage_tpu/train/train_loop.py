@@ -187,12 +187,29 @@ class Trainer:
             dtype=jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32)
 
     def fit(self, batches: Iterator[dict], max_steps: Optional[int] = None) -> dict:
-        """Run the loop; returns the last metrics."""
+        """Run the loop; returns the last metrics.
+
+        When cfg.profile.do_profile is set, captures a jax.profiler trace
+        (Perfetto/XPlane) over the configured wait/warmup/active window,
+        mirroring the reference's torch.profiler schedule
+        (train_utils.py:381 train_profiling)."""
         last_metrics: dict = {}
         t0 = time.time()
+        prof = getattr(self.cfg, "profile", None)
+        prof_start = prof.wait + prof.warmup if prof and prof.do_profile else None
+        prof_stop = (prof_start + prof.active) if prof_start is not None else None
         for i, batch in enumerate(batches):
             if max_steps is not None and i >= max_steps:
                 break
+            if prof_start is not None and i == prof_start:
+                import jax.profiler  # noqa: PLC0415
+                jax.profiler.start_trace("/tmp/bh_profile")
+            if prof_stop is not None and i == prof_stop:
+                import jax.profiler  # noqa: PLC0415
+                jax.profiler.stop_trace()
+                print("profiler trace written to /tmp/bh_profile")
+                if prof.early_stop:
+                    break
             self.state, metrics = self.train_step(self.state, batch)
             if (i + 1) % self.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
