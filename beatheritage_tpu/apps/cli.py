@@ -30,11 +30,14 @@ def main(argv=None) -> int:
     ns = parse_args(argv)
     args = load_config(InferenceConfig, "inference", ns.config_name,
                        overrides=ns.overrides)
-    if not args.audio_path:
-        print("error: audio_path is required (audio_path=/path/to/song.wav)",
-              file=sys.stderr)
+    if not args.audio_path and not args.beatmap_path:
+        print("error: audio_path or beatmap_path is required "
+              "(audio_path=/path/to/song.wav)", file=sys.stderr)
         return 2
-    generate(args)
+    from ..inference.pipeline import get_args_from_beatmap, load_tokenizer
+    tokenizer = load_tokenizer(args)
+    get_args_from_beatmap(args, tokenizer)
+    generate(args, tokenizer=tokenizer)
     return 0
 
 

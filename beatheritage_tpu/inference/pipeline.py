@@ -227,6 +227,118 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
     return result, result_path, osz_path
 
 
+VALID_AUDIO_EXTENSIONS = {".mp3", ".wav", ".ogg", ".m4a", ".flac"}
+
+
+def autofill_paths(args: InferenceConfig) -> dict:
+    """Autofill audio/output paths from the reference beatmap
+    (reference: inference.py:64). Returns {'success', 'errors'}."""
+    errors = []
+    beatmap_path = Path(args.beatmap_path) if args.beatmap_path else None
+    output_path = Path(args.output_path) if args.output_path else None
+    audio_path = Path(args.audio_path) if args.audio_path else None
+
+    def valid_beatmap(p):
+        return p is None or (p.exists() and p.suffix.lower() == ".osu")
+
+    if beatmap_path and valid_beatmap(beatmap_path):
+        try:
+            bm = Beatmap.from_path(beatmap_path)
+            if not audio_path:
+                audio_path = beatmap_path.parent / bm.audio_filename
+            if not output_path:
+                output_path = beatmap_path.parent
+        except Exception as e:
+            errors.append(f"Error reading beatmap file: {e}")
+    elif audio_path and audio_path.exists() and not output_path:
+        output_path = audio_path.parent
+
+    if not audio_path:
+        errors.append("Audio file path is required.")
+    elif not audio_path.exists():
+        errors.append(f"Audio file not found: {audio_path}")
+    elif audio_path.suffix.lower() not in VALID_AUDIO_EXTENSIONS:
+        errors.append(f"Audio file must have one of "
+                      f"{sorted(VALID_AUDIO_EXTENSIONS)}: {audio_path}")
+    if beatmap_path:
+        if not beatmap_path.exists():
+            errors.append(f"Beatmap file not found: {beatmap_path}")
+        elif not valid_beatmap(beatmap_path):
+            errors.append(f"Beatmap file must have .osu extension: {beatmap_path}")
+
+    args.audio_path = str(audio_path) if audio_path else ""
+    args.output_path = str(output_path) if output_path else ""
+    args.beatmap_path = str(beatmap_path) if beatmap_path else ""
+    return {"success": not errors, "errors": errors}
+
+
+def get_args_from_beatmap(args: InferenceConfig, tokenizer: Tokenizer,
+                          verbose: bool = True) -> None:
+    """Fill unset conditioning args from the reference beatmap's metadata,
+    or fair defaults without one (reference: inference.py:127)."""
+    from ..events import ContextType as CT  # noqa: PLC0415
+    from .processor import generation_config_from_beatmap  # noqa: PLC0415
+
+    result = autofill_paths(args)
+    if not result["success"]:
+        for error in result["errors"]:
+            print(f"Error: {error}")
+        raise ValueError("Invalid paths provided. Please check the errors above.")
+
+    def fill(name, value):
+        if getattr(args, name) is None:
+            setattr(args, name, value)
+            if verbose:
+                print(f"Using {name.replace('_', ' ')} {value}")
+
+    if not args.beatmap_path:
+        fill("gamemode", 0)
+        fill("hp_drain_rate", 5)
+        fill("circle_size", 4)
+        fill("overall_difficulty", 8)
+        fill("approach_rate", 9)
+        fill("slider_multiplier", 1.4)
+        fill("slider_tick_rate", 1)
+        fill("hitsounded", True)
+        if args.keycount is None and args.gamemode == 3:
+            fill("keycount", 4)
+        return
+
+    beatmap = Beatmap.from_path(args.beatmap_path)
+    if (beatmap.mode not in args.train.data.gamemodes
+            and (any(c in (CT.MAP, CT.GD, CT.NO_HS) for c in args.in_context)
+                 or args.add_to_beatmap)):
+        raise ValueError(
+            f"Beatmap mode {beatmap.mode} is not supported by the model. "
+            f"Supported modes: {args.train.data.gamemodes}")
+    gc = generation_config_from_beatmap(beatmap, tokenizer)
+    fill("gamemode", gc.gamemode)
+    if args.beatmap_id is None and gc.beatmap_id:
+        fill("beatmap_id", gc.beatmap_id)
+    if args.mapper_id is None and beatmap.beatmap_id in tokenizer.beatmap_mapper:
+        fill("mapper_id", gc.mapper_id)
+    if args.descriptors is None and beatmap.beatmap_id in tokenizer.beatmap_descriptors:
+        fill("descriptors", gc.descriptors)
+    fill("hp_drain_rate", gc.hp_drain_rate)
+    fill("circle_size", gc.circle_size)
+    fill("overall_difficulty", gc.overall_difficulty)
+    fill("approach_rate", gc.approach_rate)
+    fill("slider_multiplier", gc.slider_multiplier)
+    fill("slider_tick_rate", gc.slider_tick_rate)
+    fill("hitsounded", gc.hitsounded)
+    if args.gamemode == 3:
+        fill("keycount", gc.keycount)
+        fill("hold_note_ratio", gc.hold_note_ratio)
+    if args.gamemode in (1, 3):
+        fill("scroll_speed_ratio", gc.scroll_speed_ratio)
+    if not args.title:
+        args.title = beatmap.title
+    if not args.artist:
+        args.artist = beatmap.artist
+    if args.preview_time < 0:
+        args.preview_time = int(beatmap.preview_time)
+
+
 def _ins(ctx) -> list:
     vals = ctx.get("in", []) if isinstance(ctx, dict) else []
     return [ContextType(v) if isinstance(v, str) else v for v in vals]

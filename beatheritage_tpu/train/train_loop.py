@@ -125,6 +125,32 @@ def make_train_step(dims: ModelDims, cfg, optimizer, mesh: Mesh, *,
         metrics = dict(metrics, grad_l2=grad_l2, weights_l2=weights_l2)
         return TrainState(state.step + 1, params, opt_state, ema_params), metrics
 
+    if "model" in mesh.shape and mesh.shape["model"] > 1:
+        # tensor-parallel: parameters (and their optimizer moments) shard
+        # over the model axis per parallel/sharding rules
+        from ..parallel.sharding import state_shardings  # noqa: PLC0415
+
+        def make_state_sharding(state):
+            return state_shardings(mesh, state)
+        state_sharding = None  # resolved per-state below via wrapper
+        data_sharding = (NamedSharding(mesh, P(None, "data")) if grad_acc > 1
+                         else batch_sharding(mesh))
+
+        compiled = {}
+
+        def wrapper(state, batch):
+            key = "jit"
+            if key not in compiled:
+                ss = make_state_sharding(state)
+                compiled[key] = jax.jit(
+                    step_fn,
+                    in_shardings=(ss, data_sharding),
+                    out_shardings=(ss, replicated(mesh)),
+                    donate_argnums=(0,))
+            return compiled[key](state, batch)
+
+        return wrapper
+
     state_sharding = replicated(mesh)
     # with accumulation the microbatch axis leads; shard the batch axis
     data_sharding = (NamedSharding(mesh, P(None, "data")) if grad_acc > 1

@@ -167,3 +167,22 @@ def test_trainer_fit_runs(setup, tmp_path):
     metrics = trainer.fit(iter([batch, batch]), max_steps=2)
     assert "loss" in metrics and np.isfinite(metrics["loss"])
     assert int(trainer.state.step) == 2
+
+
+def test_tensor_parallel_matches_replicated(setup):
+    """(data=4, model=2) mesh with Megatron-style param sharding must match
+    the replicated single-device loss (TP allreduce correctness)."""
+    cfg, tok, dims, params = setup
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    batch = make_batch(cfg, tok, batch=8)
+
+    mesh_tp = build_mesh(4, 2)
+    step_tp = make_train_step(dims, cfg, optimizer, mesh_tp, dtype=jnp.float32)
+    _, m_tp = step_tp(init_train_state(params, optimizer), batch)
+
+    mesh1 = build_mesh(1, 1, devices=jax.devices()[:1])
+    step1 = make_train_step(dims, cfg, optimizer, mesh1, dtype=jnp.float32)
+    _, m1 = step1(init_train_state(params, optimizer), batch)
+
+    assert float(m_tp["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
