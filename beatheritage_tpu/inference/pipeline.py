@@ -42,6 +42,13 @@ def load_model(args: InferenceConfig, tokenizer: Tokenizer):
     if path is not None and path.is_dir() and (path / "params").exists():
         from ..train.checkpoints import restore_params  # noqa: PLC0415
         return restore_params(path, dims), dims
+    if path is not None and (path.is_file() or (path.is_dir() and any(
+            (path / n).exists() for n in ("pytorch_model.bin", "model.safetensors")))):
+        # reference-format PyTorch checkpoint: convert in place
+        from ..train.convert import load_reference_checkpoint  # noqa: PLC0415
+        import jax.numpy as jnp  # noqa: PLC0415
+        params = jax.tree.map(jnp.asarray, load_reference_checkpoint(path, dims))
+        return params, dims
     seed = args.seed if args.seed is not None else 0
     params = init_params(jax.random.PRNGKey(seed), dims)
     return params, dims
