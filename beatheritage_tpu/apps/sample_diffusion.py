@@ -1,0 +1,61 @@
+"""Standalone DiT sampler: re-generate a beatmap's positions from noise.
+
+(reference: osu_diffusion/sample.py:35 + utils/export/create_beatmap.py)
+Takes an existing .osu as the rhythm skeleton, replaces every position with
+diffusion samples (random init), and writes a new .osu — the DiT testing
+workflow used with the toy datasets (osu_diffusion/testing/test_toy.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="sample positions with the DiT")
+    parser.add_argument("beatmap", help="input .osu skeleton")
+    parser.add_argument("-o", "--output", default=".", help="output directory")
+    parser.add_argument("-cn", "--config-name", default="default")
+    parser.add_argument("overrides", nargs="*")
+    ns = parser.parse_args(argv)
+
+    from ..config import InferenceConfig, load_config
+    from ..data.event_utils import remove_events_of_type
+    from ..data.parser import BeatmapParser
+    from ..diffusion.pipeline import DiffusionPipeline
+    from ..events import EventType
+    from ..inference.postprocessor import (Postprocessor,
+                                           beatmap_config_from_beatmap)
+    from ..inference.processor import generation_config_from_beatmap
+    from ..osu.beatmap import Beatmap
+    from ..tokenizer import Tokenizer
+
+    args = load_config(InferenceConfig, "inference", ns.config_name,
+                       overrides=["random_init=true"] + ns.overrides)
+    beatmap = Beatmap.from_path(ns.beatmap)
+    tokenizer = Tokenizer(args.train)
+    bm_parser = BeatmapParser(args.train, tokenizer)
+
+    events, event_times = bm_parser.parse(beatmap)
+    # drop decoded positions so the DiT refiner regenerates them from noise
+    events, event_times = remove_events_of_type(
+        events, event_times, [EventType.POS, EventType.POS_X, EventType.POS_Y])
+
+    generation_config = generation_config_from_beatmap(beatmap, tokenizer)
+    timing = [tp for tp in beatmap.timing_points if tp.parent is None]
+    pipeline = DiffusionPipeline(args)
+    events = pipeline.generate(events, generation_config, timing, verbose=True)
+
+    postprocessor = Postprocessor(args)
+    config = beatmap_config_from_beatmap(beatmap)
+    config.version = (config.version or "sampled") + " [diffusion]"
+    result = postprocessor.generate(events, config, beatmap.timing_points)
+    out_path = postprocessor.write_result(result, ns.output)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

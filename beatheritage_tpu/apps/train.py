@@ -55,10 +55,13 @@ def main(argv=None) -> int:
     params = init_params(jax.random.PRNGKey(cfg.seed), dims)
 
     shared = SharedTrainState()
+    from ..train.logging import MetricsLogger
+    logger = MetricsLogger(cfg.logging.log_with, run_name=ns.config_name)
 
     def on_metrics(step, metrics):
         shared.current_train_step = step
         shared.current_loss = metrics.get("loss", float("inf"))
+        logger.log(step, metrics)
         print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
 
     trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tokenizer,

@@ -71,8 +71,8 @@ class SamplerSettings:
 # -- cached decoder forward -----------------------------------------------------
 
 def _ln(x, p):
-    from ..models.embedders import layer_norm  # noqa: PLC0415
-    return layer_norm(x, p["g"], p["b"])
+    from ..models.transformer import rms_norm  # noqa: PLC0415
+    return rms_norm(x, p["g"])
 
 
 def _lin(x, p):

@@ -324,9 +324,17 @@ class DiffusionPipeline:
             fixed = pos / PLAYFIELD * 2 - 1
             return np.repeat(fixed[None].astype(x_np.dtype), x_np.shape[0], axis=0)
 
+        # host callbacks are unsupported on this image's TPU backend (axon
+        # PJRT reports backend 'tpu' but rejects pure_callback); keep the
+        # fused-callback path for CPU/GPU and host-step on TPU
+        callbacks_ok = jax.default_backend() not in ("axon", "tpu")
+
+        def inpaint(x):
+            return jnp.where(mask_j, x, z_ref_j)
+
         def denoised_fn(x):
-            x = jnp.where(mask_j, x, z_ref_j)
-            if chunk_sliders:
+            x = inpaint(x)
+            if chunk_sliders and callbacks_ok:
                 x = jax.pure_callback(
                     host_fix_slider_ends,
                     jax.ShapeDtypeStruct(x.shape, x.dtype), x)
@@ -337,9 +345,25 @@ class DiffusionPipeline:
                                    jnp.asarray(c_part), y, self.cfg_scale,
                                    attn_mask=jnp.asarray(band))
 
-        z0 = denoised_fn(jnp.asarray(z_part))
-        samples = p_sample_loop(schedule, model_fn, z0, self._next_key(),
-                                clip_denoised=True, denoised_fn=denoised_fn)
+        z0 = jnp.asarray(host_fix_slider_ends(np.asarray(inpaint(jnp.asarray(z_part))))
+                         if chunk_sliders else inpaint(jnp.asarray(z_part)))
+        if chunk_sliders and not callbacks_ok:
+            # the axon PJRT backend has no host-callback support: step the
+            # respaced chain at the Python level and fix slider ends on host
+            # between steps (10-30 active steps; same per-step host work the
+            # reference does)
+            from .sampler import p_sample_step  # noqa: PLC0415
+            step_jit = jax.jit(lambda x, t, key: p_sample_step(
+                schedule, model_fn, x, t, key, clip_denoised=True,
+                denoised_fn=inpaint))
+            x = z0
+            for t in range(schedule.num_steps - 1, -1, -1):
+                x = step_jit(x, jnp.asarray(t), self._next_key())
+                x = jnp.asarray(host_fix_slider_ends(np.asarray(x)))
+            samples = x
+        else:
+            samples = p_sample_loop(schedule, model_fn, z0, self._next_key(),
+                                    clip_denoised=True, denoised_fn=denoised_fn)
         if self.refine_params is not None:
             def refine_fn(x, t):
                 return dit_forward_cfg(self.refine_params, self.dims, x, t,

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mel import mel_spectrogram
-from .embedders import layer_norm
+from .transformer import rms_norm
 from .transformer import ModelDims, _conv1d, _ffn, _linear, _self_attention, _init_encoder_layer, _init_decoder_layer, _ln, _dense
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
 from ..ops.rope import rope_cos_sin
@@ -108,13 +108,13 @@ def classifier_forward(params, dims: ClassifierDims, audio: jnp.ndarray,
                             rope_type="static", dtype=dtype)
 
     def enc_layer(h, layer):
-        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
                                 cos, sin, md.num_heads, is_causal=False)
-        h = h + _ffn(layer, layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"]))
+        h = h + _ffn(layer, rms_norm(h, layer["ln2"]["g"]))
         return h, None
 
     x, _ = jax.lax.scan(enc_layer, x, params["encoder"]["layers"])
-    enc = layer_norm(x, params["encoder"]["lnf"]["g"], params["encoder"]["lnf"]["b"])
+    enc = rms_norm(x, params["encoder"]["lnf"]["g"])
 
     y = params["dec_embed"].astype(dtype)[decoder_input_ids]
     t_dec = y.shape[1]
@@ -122,18 +122,18 @@ def classifier_forward(params, dims: ClassifierDims, audio: jnp.ndarray,
                               rope_type="static", dtype=dtype)
 
     def dec_layer(h, layer):
-        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
                                 dcos, dsin, md.num_heads, is_causal=True)
-        hn = layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"])
+        hn = rms_norm(h, layer["ln2"]["g"])
         q = split_heads(_linear(hn, layer["xq"]), md.num_heads)
         k = split_heads(_linear(enc, layer["xk"]), md.num_heads)
         v = split_heads(_linear(enc, layer["xv"]), md.num_heads)
         h = h + _linear(merge_heads(dot_product_attention(q, k, v)), layer["xo"])
-        h = h + _ffn(layer, layer_norm(h, layer["ln3"]["g"], layer["ln3"]["b"]))
+        h = h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
         return h, None
 
     y, _ = jax.lax.scan(dec_layer, y, params["decoder"]["layers"])
-    y = layer_norm(y, params["decoder"]["lnf"]["g"], params["decoder"]["lnf"]["b"])
+    y = rms_norm(y, params["decoder"]["lnf"]["g"])
 
     projected = _linear(y, params["projector"])       # (B, T, proj)
     features = projected.mean(axis=1)                 # (B, proj)

@@ -44,6 +44,16 @@ from .embedders import (
     layer_norm,
 )
 
+# torch.nn.RMSNorm's default eps (finfo(float32).eps); the RoPEWhisper
+# backbone normalizes with RMSNorm, not LayerNorm (modeling_ropewhisper.py:767)
+RMS_EPS = 1.1920928955078125e-07
+
+
+def rms_norm(x, g, eps: float = RMS_EPS):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * g).astype(x.dtype)
+
 LABEL_IGNORE_ID = -100
 
 
@@ -128,7 +138,8 @@ def _dense(key, d_in, d_out, std=0.02, bias=True):
 
 
 def _ln(d):
-    return {"g": jnp.ones(d), "b": jnp.zeros(d)}
+    # RMSNorm: gain only (reference RoPEWhisper norms have no bias/centering)
+    return {"g": jnp.ones(d)}
 
 
 def _init_attn(key, d, std, cross=False):
@@ -295,15 +306,14 @@ def encode(params, dims: ModelDims, cfg, audio: jnp.ndarray, *,
         dtype=dtype)
 
     def layer_fn(h, layer):
-        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
                                 cos, sin, dims.num_heads, is_causal=False,
                                 use_flash=use_flash)
-        h = h + _ffn(layer, layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"]))
+        h = h + _ffn(layer, rms_norm(h, layer["ln2"]["g"]))
         return h, None
 
     x, _ = jax.lax.scan(layer_fn, x, params["encoder"]["layers"])
-    lnf = params["encoder"]["lnf"]
-    return layer_norm(x, lnf["g"], lnf["b"])
+    return rms_norm(x, params["encoder"]["lnf"]["g"])
 
 
 # -- decoder (teacher-forced) -----------------------------------------------------
@@ -332,21 +342,20 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
     enc = enc_hidden.astype(dtype)
 
     def layer_fn(h, layer):
-        h = h + _self_attention(layer, layer_norm(h, layer["ln1"]["g"], layer["ln1"]["b"]),
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
                                 cos, sin, dims.num_heads, is_causal=True,
                                 mask=self_mask, use_flash=use_flash)
-        hn = layer_norm(h, layer["ln2"]["g"], layer["ln2"]["b"])
+        hn = rms_norm(h, layer["ln2"]["g"])
         q = split_heads(_linear(hn, layer["xq"]), dims.num_heads)
         k = split_heads(_linear(enc, layer["xk"]), dims.num_heads)
         v = split_heads(_linear(enc, layer["xv"]), dims.num_heads)
         cross = dot_product_attention(q, k, v, mask=cross_mask, use_flash=use_flash)
         h = h + _linear(merge_heads(cross), layer["xo"])
-        h = h + _ffn(layer, layer_norm(h, layer["ln3"]["g"], layer["ln3"]["b"]))
+        h = h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
         return h, None
 
     x, _ = jax.lax.scan(layer_fn, x, params["decoder"]["layers"])
-    lnf = params["decoder"]["lnf"]
-    x = layer_norm(x, lnf["g"], lnf["b"])
+    x = rms_norm(x, params["decoder"]["lnf"]["g"])
     return (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
 
 

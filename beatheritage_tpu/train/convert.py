@@ -41,7 +41,8 @@ def _linear(sd: Mapping, prefix: str, bias: bool = True) -> dict:
 
 
 def _ln(sd: Mapping, prefix: str) -> dict:
-    return {"g": _t(sd[f"{prefix}.weight"]), "b": _t(sd[f"{prefix}.bias"])}
+    # RoPEWhisper norms are RMSNorm: gain only (modeling_ropewhisper.py:767)
+    return {"g": _t(sd[f"{prefix}.weight"])}
 
 
 def _stack(dicts: list[dict]) -> dict:
