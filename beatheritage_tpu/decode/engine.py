@@ -335,3 +335,134 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         "finished": final["finished"],
         "prompt_len": p_len,
     }
+
+
+# -- beam search -------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "settings", "tables", "max_len", "num_beams",
+                     "dtype"))
+def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
+                  tables: TokenTables, enc_hidden: jnp.ndarray,
+                  prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
+                  eos_mask: jnp.ndarray, *, max_len: int, num_beams: int = 2,
+                  dtype=jnp.bfloat16):
+    """Jitted beam search (do_sample=False path for num_beams > 1;
+    reference uses HF beam search via num_beams/timer_num_beams,
+    processor.py:150). CFG is not combined with beams (matches practical
+    reference usage: the super-timing generator runs beams with cfg 1).
+
+    enc_hidden (B, S, D), prompt (B, P). Returns the best beam per row.
+    """
+    b, p_len = prompt.shape
+    k = num_beams
+    bk = b * k
+
+    # expand to beams: every beam starts from the same prompt
+    def expand(x):
+        return jnp.repeat(x, k, axis=0)
+
+    enc_k = expand(enc_hidden)
+    prompt_k = expand(prompt.astype(jnp.int32))
+    mask_k = expand(prompt_mask.astype(bool))
+
+    cache = init_self_cache(dims, bk, max_len, dtype)
+    cross_k, cross_v = precompute_cross_kv(params, dims, enc_k, dtype)
+    qkv = fuse_qkv(params, dtype)
+
+    tokens = jnp.full((bk, max_len), tables.pad_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_k, (0, 0))
+    kv_valid = jnp.concatenate(
+        [mask_k, jnp.ones((bk, max_len - p_len), dtype=bool)], axis=1)
+    positions_prompt = jnp.clip(jnp.cumsum(mask_k.astype(jnp.int32), axis=1) - 1, 0)
+    prefill_logits, cache = decoder_cached_forward(
+        params, dims, prompt_k, cache, cross_k, cross_v, positions_prompt, 0,
+        kv_valid, max_len, dtype, qkv=qkv)
+
+    last_ts, has_ts = _prompt_monotonic_state(prompt_k, mask_k, tables)
+
+    # beam 0 starts live, the rest start at -inf so the first step fans out
+    beam_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1)), (b,))
+
+    state = {
+        "tokens": tokens,
+        "cache": cache,
+        "pending": prefill_logits[:, -1],
+        "step": jnp.asarray(p_len, jnp.int32),
+        "pos_next": positions_prompt[:, -1] + 1,
+        "scores": beam_scores,           # (BK,)
+        "finished": jnp.zeros((bk,), bool),
+        "last_ts": last_ts,
+        "has_ts": has_ts,
+    }
+
+    v_size = tables.vocab_size_out
+    neg_except_pad = jnp.full((v_size,), NEG_INF).at[tables.pad_id].set(0.0)
+
+    def cond_fn(s):
+        return (s["step"] < max_len) & ~jnp.all(s["finished"])
+
+    def body_fn(s):
+        step = s["step"]
+        logits = s["pending"]  # (BK, V)
+        logits = monotonic_timeshift_mask(logits, s["last_ts"], s["has_ts"],
+                                          tables.time_start, tables.time_end)
+        logits = timeshift_bias(logits, settings.timeshift_bias,
+                                tables.time_start, tables.time_end)
+        prev1 = s["tokens"][:, jnp.clip(step - 1, 0)]
+        prev3 = s["tokens"][:, jnp.clip(step - 3, 0)]
+        logits = conditional_temperature(logits, prev1, prev3, settings, tables)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # finished beams may only emit pad at zero cost
+        logp = jnp.where(s["finished"][:, None], neg_except_pad[None, :], logp)
+
+        cand = s["scores"][:, None] + logp           # (BK, V)
+        cand = cand.reshape(b, k * v_size)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+        parent = top_idx // v_size                    # beam index within row
+        token = (top_idx % v_size).astype(jnp.int32)  # (B, K)
+
+        # flatten back to (BK,) and gather all per-beam state by parent
+        gather = (jnp.arange(b)[:, None] * k + parent).reshape(-1)  # (BK,)
+        token_flat = token.reshape(-1)
+        tokens = s["tokens"][gather].at[:, step].set(token_flat)
+        cache = {"k": s["cache"]["k"][:, gather], "v": s["cache"]["v"][:, gather]}
+        finished = s["finished"][gather] | eos_mask[token_flat]
+        scores = top_scores.reshape(-1)
+
+        is_ts = (token_flat >= tables.time_start) & (token_flat < tables.time_end)
+        is_sos = jnp.isin(token_flat, jnp.asarray(tables.sos_ids))
+        last_ts = jnp.where(is_ts, token_flat - tables.time_start,
+                            s["last_ts"][gather])
+        has_ts = jnp.where(is_sos, False, s["has_ts"][gather] | is_ts)
+
+        step_logits, cache = decoder_cached_forward(
+            params, dims, tokens[:, step][:, None], cache, cross_k, cross_v,
+            s["pos_next"][gather][:, None], step, kv_valid, max_len, dtype,
+            qkv=qkv)
+
+        return {
+            "tokens": tokens,
+            "cache": cache,
+            "pending": step_logits[:, -1],
+            "step": step + 1,
+            "pos_next": s["pos_next"][gather] + 1,
+            "scores": scores,
+            "finished": finished,
+            "last_ts": last_ts,
+            "has_ts": has_ts,
+        }
+
+    final = jax.lax.while_loop(cond_fn, body_fn, state)
+    # pick the best beam per row (finished beams froze their scores)
+    scores = final["scores"].reshape(b, k)
+    best = jnp.argmax(scores, axis=1)
+    tokens = final["tokens"].reshape(b, k, max_len)[jnp.arange(b), best]
+    return {
+        "tokens": tokens,
+        "length": final["step"],
+        "finished": final["finished"].reshape(b, k)[jnp.arange(b), best],
+        "prompt_len": p_len,
+        "scores": scores[jnp.arange(b), best],
+    }

@@ -169,6 +169,7 @@ class Processor:
         self.cfg_scale = cfg_scale if cfg_scale is not None else args.cfg_scale
         self.parallel = args.parallel
         self.max_batch_size = args.max_batch_size
+        self.num_beams = args.num_beams
         self.settings_base = dict(
             temperature=args.temperature,
             timing_temperature=args.timing_temperature,
@@ -261,10 +262,18 @@ class Processor:
             lookback_time=lookback_time, lookahead_time=lookahead_time,
             context_type=context_type))
 
-        out = engine_generate(
-            self.params, self.dims, settings, self.tables, enc_hidden,
-            jnp.asarray(prompt), jnp.asarray(mask), eos_mask, self._next_key(),
-            max_len=self.tgt_seq_len, dtype=self.dtype)
+        if (self.num_beams > 1 and not settings.do_sample and not cfg_on):
+            from ..decode.engine import beam_generate  # noqa: PLC0415
+            out = beam_generate(
+                self.params, self.dims, settings, self.tables, enc_hidden,
+                jnp.asarray(prompt), jnp.asarray(mask), eos_mask,
+                max_len=self.tgt_seq_len, num_beams=self.num_beams,
+                dtype=self.dtype)
+        else:
+            out = engine_generate(
+                self.params, self.dims, settings, self.tables, enc_hidden,
+                jnp.asarray(prompt), jnp.asarray(mask), eos_mask, self._next_key(),
+                max_len=self.tgt_seq_len, dtype=self.dtype)
         tokens = np.asarray(out["tokens"])
         length = int(out["length"])
         return [tokens[i, p:length] for i in range(b)]

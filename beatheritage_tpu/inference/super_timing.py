@@ -32,8 +32,9 @@ class SuperTimingGenerator:
         self.preprocessor = Preprocessor(args, parallel=True)
         self.processor = Processor(args, params, tokenizer,
                                    cfg_scale=args.timer_cfg_scale)
-        # greedy, parallel windows for the voting passes
+        # deterministic (beam/greedy) parallel windows for the voting passes
         self.processor.parallel = True
+        self.processor.num_beams = args.timer_num_beams
         self.processor.settings_base = dict(
             self.processor.settings_base,
             do_sample=False, top_p=1.0, top_k=50, temperature=1.0)

@@ -203,3 +203,48 @@ def test_eos_mask_includes_boundary_timeshifts(setup):
     assert not m[tables.time_start + 10]
     # 5 lookahead tokens at the end
     assert m[tables.time_end - 5:tables.time_end].all()
+
+
+def test_beam_search_runs_and_beats_greedy_score(setup):
+    from beatheritage_tpu.decode.engine import beam_generate
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(3), (b, s, dims.d_model))
+    prompt = jnp.full((b, 2), tok.sos_id, jnp.int32)
+    mask = jnp.ones((b, 2), bool)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(do_sample=False)
+
+    out1 = beam_generate(params, dims, settings, tables, enc, prompt, mask,
+                         eos_mask, max_len=20, num_beams=1, dtype=jnp.float32)
+    out2 = beam_generate(params, dims, settings, tables, enc, prompt, mask,
+                         eos_mask, max_len=20, num_beams=3, dtype=jnp.float32)
+    assert out1["tokens"].shape == (b, 20)
+    assert out2["tokens"].shape == (b, 20)
+    # with one beam this is greedy; 3 beams must find a sequence at least as
+    # probable
+    assert float(out2["scores"][0]) >= float(out1["scores"][0]) - 1e-4
+    # monotonic time must hold in the beam result too
+    toks = np.asarray(out2["tokens"])[0][2:int(out2["length"])]
+    times = [t - tables.time_start for t in toks
+             if tables.time_start <= t < tables.time_end]
+    assert times == sorted(times)
+
+
+def test_beam_one_matches_greedy_tokens(setup):
+    from beatheritage_tpu.decode.engine import beam_generate
+    cfg, tok, dims, params, tables = setup
+    b, s = 1, 8
+    enc = jax.random.normal(jax.random.PRNGKey(9), (b, s, dims.d_model))
+    prompt = jnp.full((b, 2), tok.sos_id, jnp.int32)
+    mask = jnp.ones((b, 2), bool)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(do_sample=False)
+    beam = beam_generate(params, dims, settings, tables, enc, prompt, mask,
+                         eos_mask, max_len=16, num_beams=1, dtype=jnp.float32)
+    greedy = generate(params, dims, settings, tables, enc, prompt, mask,
+                      eos_mask, jax.random.PRNGKey(0), max_len=16,
+                      dtype=jnp.float32)
+    gl = int(greedy["length"])
+    np.testing.assert_array_equal(np.asarray(beam["tokens"])[:, :gl],
+                                  np.asarray(greedy["tokens"])[:, :gl])
