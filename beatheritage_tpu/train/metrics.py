@@ -111,6 +111,43 @@ def context_buckets(decoder_input_ids: np.ndarray, tokenizer, args) -> dict:
     return buckets
 
 
+def time_in_window_accuracy(preds, labels, tokenizer, bins: int = 100) -> dict:
+    """Time-token accuracy bucketed by position within the audio window
+    (reference: osuT5/test.py:94-140 time bins)."""
+    start = tokenizer.event_start[EventType.TIME_SHIFT]
+    end = tokenizer.event_end[EventType.TIME_SHIFT]
+    span = max(end - start, 1)
+    idx = (labels >= start) & (labels < end)
+    l = labels[idx]
+    p = preds[idx]
+    if len(l) == 0:
+        return {}
+    bucket = np.minimum(((l - start) * bins) // span, bins - 1)
+    out = {}
+    for b in np.unique(bucket):
+        m = bucket == b
+        out[f"time_bin_{int(b):03d}_acc"] = float((p[m] == l[m]).mean())
+    return out
+
+
+def timeshift_offset_histogram(preds, labels, tokenizer,
+                               max_offset: int = 3) -> dict:
+    """Distribution of prediction offsets (in time tokens) for time-shift
+    labels (reference: osuT5/test.py timeshift precision offsets)."""
+    start = tokenizer.event_start[EventType.TIME_SHIFT]
+    end = tokenizer.event_end[EventType.TIME_SHIFT]
+    idx = (labels >= start) & (labels < end) & (preds >= start) & (preds < end)
+    if not idx.any():
+        return {}
+    diff = preds[idx].astype(np.int64) - labels[idx].astype(np.int64)
+    total = len(diff)
+    out = {}
+    for off in range(-max_offset, max_offset + 1):
+        out[f"timeshift_offset_{off:+d}"] = float((diff == off).sum() / total)
+    out["timeshift_offset_other"] = float((np.abs(diff) > max_offset).sum() / total)
+    return out
+
+
 def evaluate_batches(eval_step, params, batches, tokenizer, args,
                      max_steps: Optional[int] = None) -> dict:
     """Run eval batches through a jitted (loss, logits) step and bucket

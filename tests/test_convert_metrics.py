@@ -149,3 +149,21 @@ def test_get_stats_keys():
     assert stats["loss"] == 1.0
     assert "timing_acc" in stats and "position_acc" in stats
     assert "column_acc" in stats and "scroll_speed_acc" in stats
+
+
+def test_time_in_window_and_offset_histogram():
+    from beatheritage_tpu.train.metrics import (
+        time_in_window_accuracy, timeshift_offset_histogram)
+    from beatheritage_tpu.events import EventType
+    cfg = load_config(TrainConfig, "train", "tiny")
+    tok = Tokenizer(cfg)
+    start = tok.event_start[EventType.TIME_SHIFT]
+    end = tok.event_end[EventType.TIME_SHIFT]
+    labels = np.array([start, start + 50, end - 1, 0])
+    preds = np.array([start, start + 52, end - 1, 0])
+    bins = time_in_window_accuracy(preds, labels, tok, bins=10)
+    assert any(k.startswith("time_bin_") for k in bins)
+    hist = timeshift_offset_histogram(preds, labels, tok)
+    assert hist["timeshift_offset_+0"] == pytest.approx(2 / 3)
+    assert hist["timeshift_offset_+2"] == pytest.approx(1 / 3)
+    assert hist["timeshift_offset_other"] == 0.0
