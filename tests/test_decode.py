@@ -169,10 +169,20 @@ def test_top_k_top_p():
     k2 = np.asarray(apply_top_k(logits, 2)[0])
     assert np.isfinite(k2[:2]).all() and (k2[2:] < -1e8).all()
     p = np.asarray(apply_top_p(logits, 0.7)[0])
-    assert np.isfinite(p[:2]).all() and (p[2:] < -1e8).all()
+    # nucleus {0.5, 0.3}: BOTH survive (guards against a top-1 regression;
+    # note np.isfinite(NEG_INF) is True, so assert against the sentinel)
+    assert (p[:2] > -1e8).all() and (p[2:] < -1e8).all()
     # p large enough keeps everything
     p_all = np.asarray(apply_top_p(logits, 0.999)[0])
-    assert np.isfinite(p_all).all()
+    assert (p_all > -1e8).all()
+    # nucleus wider than the prefilter: exact full-sort fallback
+    vals = -np.arange(300, dtype=np.float32) * 0.01  # distinct, near-flat
+    probs = np.exp(vals) / np.exp(vals).sum()
+    n_keep = int(np.searchsorted(np.cumsum(probs), 0.5) + 1)
+    assert n_keep > 64  # actually exercises the full path
+    wide = np.asarray(apply_top_p(jnp.asarray(vals)[None], 0.5,
+                                  prefilter_k=64)[0])
+    assert (wide > -1e8).sum() == n_keep
 
 
 def test_generate_with_cfg_and_sampling_settings(setup):
