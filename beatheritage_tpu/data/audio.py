@@ -1,10 +1,11 @@
 """Host-side audio IO: decode, resample, normalize.
 
 Replaces the reference's pydub/ffmpeg loader (reference:
-osuT5/osuT5/dataset/data_utils.py:76 load_audio_file). This image has no
-ffmpeg, so the native path covers WAV (stdlib/scipy) with a polyphase
-resampler; other formats are gated behind an optional external `ffmpeg`
-binary if one is present on PATH.
+osuT5/osuT5/dataset/data_utils.py:76 load_audio_file). The native C++
+library decodes WAV directly and MP3/OGG through the system
+libmpg123/libvorbisfile (osu! songs are almost always .mp3 or .ogg);
+the pure-Python fallback covers WAV via stdlib/scipy, and an external
+`ffmpeg` binary is used for anything else if one is present on PATH.
 """
 
 from __future__ import annotations
@@ -73,12 +74,14 @@ def load_audio(path, sample_rate: int = 16000, speed: float = 1.0,
     reinterpreting the source rate before resampling, matching the
     reference's frame-rate trick (data_utils.py:92)."""
     path = Path(path)
+    # prefer the C++ decode+resample path when built (data-loader hot loop;
+    # also the only mp3/ogg path without ffmpeg)
+    from ..native import decode_audio_native  # noqa: PLC0415
+    native = decode_audio_native(path.read_bytes(), sample_rate, speed,
+                                 normalize)
+    if native is not None:
+        return native
     if path.suffix.lower() == ".wav":
-        # prefer the C++ decode+resample path when built (data-loader hot loop)
-        from ..native import decode_wav_native  # noqa: PLC0415
-        native = decode_wav_native(path.read_bytes(), sample_rate, speed, normalize)
-        if native is not None:
-            return native
         samples, sr = _read_wav(path)
     else:
         samples, sr = _read_via_ffmpeg(path, sample_rate), sample_rate

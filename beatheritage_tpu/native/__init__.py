@@ -33,6 +33,16 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.bh_frame_signal.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+    lib.bh_decode_audio.restype = ctypes.c_int
+    lib.bh_decode_audio.argtypes = lib.bh_decode_wav.argtypes
+    lib.bh_codec_support.restype = ctypes.c_int
+    lib.bh_codec_support.argtypes = []
+    for enc in (lib.bh_encode_mp3, lib.bh_encode_ogg):
+        enc.restype = ctypes.c_int64
+        enc.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+                        ctypes.c_int,
+                        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.bh_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return lib
 
@@ -60,3 +70,54 @@ def decode_wav_native(data: bytes, target_sr: int, speed: float = 1.0,
     finally:
         lib.bh_free(out_ptr)
     return arr
+
+
+def decode_audio_native(data: bytes, target_sr: int, speed: float = 1.0,
+                        normalize: bool = True) -> Optional[np.ndarray]:
+    """Decode WAV/MP3/OGG bytes (sniffed from magic) -> mono float32 at
+    target_sr. MP3/OGG route through the system libmpg123/libvorbisfile,
+    resolved at runtime inside the C++ library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out_ptr = ctypes.POINTER(ctypes.c_float)()
+    out_len = ctypes.c_size_t()
+    rc = lib.bh_decode_audio(data, len(data), target_sr, speed,
+                             int(normalize), ctypes.byref(out_ptr),
+                             ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(out_ptr, shape=(out_len.value,)).copy()
+    finally:
+        lib.bh_free(out_ptr)
+    return arr
+
+
+def codec_support() -> dict:
+    """Which compressed-audio decoders resolved on this host."""
+    lib = load_library()
+    if lib is None:
+        return {"mp3": False, "ogg": False}
+    mask = lib.bh_codec_support()
+    return {"mp3": bool(mask & 1), "ogg": bool(mask & 2)}
+
+
+def encode_for_test(samples: np.ndarray, sample_rate: int,
+                    fmt: str) -> Optional[bytes]:
+    """Encode mono float32 to mp3/ogg bytes — test-fixture helper only
+    (uses the system lame/vorbisenc encoders)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    fn = {"mp3": lib.bh_encode_mp3, "ogg": lib.bh_encode_ogg}[fmt]
+    buf = np.ascontiguousarray(samples, dtype=np.float32)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    n = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+           sample_rate, ctypes.byref(out_ptr))
+    if n < 0:
+        return None
+    try:
+        return bytes(np.ctypeslib.as_array(out_ptr, shape=(n,)))
+    finally:
+        lib.bh_free_bytes(out_ptr)
