@@ -54,6 +54,26 @@ def load_model(args: InferenceConfig, tokenizer: Tokenizer):
     return params, dims
 
 
+def load_diffusion_model(args: InferenceConfig):
+    """Load DiT coordinate-model params from args.diff_ckpt and, when
+    position_refinement is enabled, the separate refine-model params from
+    args.diff_refine_ckpt (reference: inference.py diff_ckpt/diff_refine_ckpt
+    + osu_diffusion DiT checkpoints). Either may be absent -> None (the
+    DiffusionPipeline falls back to random init, useful for smoke tests)."""
+    from ..train.checkpoints import restore_params  # noqa: PLC0415
+
+    def _restore(ckpt):
+        p = Path(ckpt) if ckpt else None
+        if p is not None and p.is_dir() and (p / "params").exists():
+            return restore_params(p)
+        return None
+
+    diff_params = _restore(args.diff_ckpt)
+    refine_params = _restore(args.diff_refine_ckpt) \
+        if args.position_refinement else None
+    return diff_params, refine_params
+
+
 def build_configs(args: InferenceConfig) -> tuple[GenerationConfig, BeatmapConfig]:
     gen = GenerationConfig(
         gamemode=args.gamemode if args.gamemode is not None else 0,
@@ -205,7 +225,16 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
             and ContextType.MAP in output_type):
         try:
             from ..diffusion.pipeline import DiffusionPipeline  # noqa: PLC0415
-            pipeline = DiffusionPipeline(args, diff_params, diff_tokenizer)
+            refine_params = None
+            if diff_params is None:
+                diff_params, refine_params = load_diffusion_model(args)
+                if verbose and diff_params is not None:
+                    print(f"Loaded diffusion model from {args.diff_ckpt}")
+                if verbose and refine_params is not None:
+                    print(f"Loaded position-refine model from "
+                          f"{args.diff_refine_ckpt}")
+            pipeline = DiffusionPipeline(args, diff_params, diff_tokenizer,
+                                         refine_params=refine_params)
             events = pipeline.generate(events=events,
                                        generation_config=generation_config,
                                        timing=timing, verbose=verbose)

@@ -28,7 +28,16 @@ def restore_params(directory, dims=None, template=None):
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
             return ckptr.restore(directory / "params", template)
-        return ckptr.restore(directory / "params")
+        # template-free restore: rebuild an abstract tree from the stored
+        # metadata so arrays land on the current default device instead of
+        # the device recorded at save time (a CPU-saved checkpoint must
+        # restore inside a TPU process and vice versa)
+        meta = ckptr.metadata(directory / "params").item_metadata
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta.tree)
+        return ckptr.restore(directory / "params", abstract)
 
 
 def save_train_state(directory, state, tokenizer=None) -> None:

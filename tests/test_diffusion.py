@@ -170,3 +170,33 @@ def test_pipeline_fills_positions():
     ys = [e.value for e in out if e.type == EventType.POS_Y]
     assert all(-256 <= v <= 768 for v in xs)
     assert all(-256 <= v <= 640 for v in ys)
+
+
+def test_load_diffusion_model_with_refine_ckpt(tmp_path):
+    """diff_ckpt / diff_refine_ckpt load orbax params; refine gated on
+    position_refinement."""
+    from beatheritage_tpu.inference.pipeline import load_diffusion_model
+    from beatheritage_tpu.models.dit import DiTDims, init_dit_params
+    from beatheritage_tpu.train.checkpoints import save_params
+
+    args = load_config(InferenceConfig, "inference", "tiny")
+    dims = DiTDims.from_name(args.diffusion.model.model,
+                             context_size=args.diffusion.model.context_size,
+                             class_size=4)
+    for name in ("diff", "refine"):
+        save_params(tmp_path / name,
+                    init_dit_params(jax.random.PRNGKey(0), dims))
+    args.diff_ckpt = str(tmp_path / "diff")
+    args.diff_refine_ckpt = str(tmp_path / "refine")
+
+    args.position_refinement = False
+    diff_params, refine_params = load_diffusion_model(args)
+    assert diff_params is not None and refine_params is None
+
+    args.position_refinement = True
+    diff_params, refine_params = load_diffusion_model(args)
+    assert diff_params is not None and refine_params is not None
+
+    args.diff_ckpt = ""
+    diff_params, _ = load_diffusion_model(args)
+    assert diff_params is None
