@@ -32,6 +32,10 @@ def main(argv=None) -> int:
 
     cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
 
+    # multi-host bootstrap (no-op single-process); must precede backend use
+    from ..parallel import initialize_distributed
+    topo = initialize_distributed(verbose=True)
+
     tokenizer = Tokenizer(cfg)
     if cfg.data.train_dataset_path:
         loader = (load_ors_metadata if cfg.data.dataset_type == "ors"

@@ -1,5 +1,7 @@
-"""Device mesh and sharding helpers."""
+"""Device mesh, multi-host bootstrap, and sharding helpers."""
 
-from .mesh import build_mesh, batch_sharding, replicated
+from .distributed import HostTopology, initialize_distributed, shard_host_batch
+from .mesh import batch_sharding, build_mesh, replicated
 
-__all__ = ["build_mesh", "batch_sharding", "replicated"]
+__all__ = ["build_mesh", "batch_sharding", "replicated",
+           "HostTopology", "initialize_distributed", "shard_host_batch"]
