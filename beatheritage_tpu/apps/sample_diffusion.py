@@ -45,7 +45,12 @@ def main(argv=None) -> int:
 
     generation_config = generation_config_from_beatmap(beatmap, tokenizer)
     timing = [tp for tp in beatmap.timing_points if tp.parent is None]
-    pipeline = DiffusionPipeline(args)
+    from ..inference.pipeline import load_diffusion_model  # noqa: PLC0415
+    diff_params, refine_params = load_diffusion_model(args)
+    if diff_params is not None:
+        print(f"Loaded diffusion model from {args.diff_ckpt}")
+    pipeline = DiffusionPipeline(args, diff_params,
+                                 refine_params=refine_params)
     events = pipeline.generate(events, generation_config, timing, verbose=True)
 
     postprocessor = Postprocessor(args)

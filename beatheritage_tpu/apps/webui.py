@@ -32,16 +32,19 @@ pre {{ background: #111; padding: 1em; height: 300px; overflow-y: scroll; white-
 <h1>BeatHeritage TPU</h1>
 <form id="f">
 <label>Model config <select name="config">{configs}</select></label>
-<label>Audio path <input name="audio_path" placeholder="/path/to/song.wav"></label>
+<label>Audio path <input name="audio_path" placeholder="/path/to/song.mp3" data-validate="file"></label>
 <label>Output path <input name="output_path" placeholder="/path/to/output"></label>
-<label>Beatmap path (optional reference) <input name="beatmap_path"></label>
+<label>Beatmap path (optional reference) <input name="beatmap_path" data-validate="osu"></label>
 <label>Gamemode <select name="gamemode"><option value="">auto</option>
 <option value="0">osu!</option><option value="1">taiko</option>
 <option value="2">catch</option><option value="3">mania</option></select></label>
 <label>Difficulty <input name="difficulty" placeholder="5.5"></label>
 <label>Mapper ID <input name="mapper_id"></label>
 <label>Year <input name="year"></label>
-<label>Descriptors (comma separated) <input name="descriptors"></label>
+<label>Descriptors <select name="descriptor_select" id="descsel" multiple size="5">
+</select></label>
+<label>Extra descriptors (comma separated) <input name="descriptors"></label>
+<label>Negative descriptors (comma separated) <input name="negative_descriptors"></label>
 <label>CFG scale <input name="cfg_scale" value="1.0"></label>
 <label>Extra overrides <input name="extra" placeholder="super_timing=true temperature=0.9"></label>
 <button type="submit">Generate</button>
@@ -50,11 +53,39 @@ pre {{ background: #111; padding: 1em; height: 300px; overflow-y: scroll; white-
 <pre id="log"></pre>
 <script>
 const f = document.getElementById('f'), log = document.getElementById('log');
+const descsel = document.getElementById('descsel');
+
+// live path validation: green/red border via /validate_path
+for (const el of document.querySelectorAll('input[data-validate]')) {{
+  el.onblur = async () => {{
+    if (!el.value) {{ el.style.borderColor = '#555'; return; }}
+    const r = await fetch('/validate_path?kind=' + el.dataset.validate +
+                          '&path=' + encodeURIComponent(el.value));
+    const j = await r.json();
+    el.style.borderColor = j.valid ? '#3c9' : '#e44';
+    el.title = j.valid ? '' : j.reason;
+  }};
+}}
+
+// descriptor options come from the selected model's tokenizer
+async function loadDescriptors() {{
+  const cfg = f.elements['config'].value;
+  const r = await fetch('/descriptors?config=' + encodeURIComponent(cfg));
+  const names = await r.json();
+  descsel.innerHTML = names.map(n =>
+    `<option value="${{n}}">${{n}}</option>`).join('');
+  descsel.parentElement.style.display = names.length ? '' : 'none';
+}}
+f.elements['config'].onchange = loadDescriptors;
+loadDescriptors();
+
 f.onsubmit = async (e) => {{
   e.preventDefault();
   log.textContent = '';
   const data = Object.fromEntries(new FormData(f));
-  await fetch('/start_inference', {{method: 'POST', headers: {{'Content-Type': 'application/json'}}, body: JSON.stringify(data)}});
+  data.descriptor_select = [...descsel.selectedOptions].map(o => o.value);
+  const r = await fetch('/start_inference', {{method: 'POST', headers: {{'Content-Type': 'application/json'}}, body: JSON.stringify(data)}});
+  if (!r.ok) {{ log.textContent = 'error: ' + (await r.json()).error; return; }}
   const resp = await fetch('/stream_output');
   const reader = resp.body.getReader();
   const dec = new TextDecoder();
@@ -102,6 +133,34 @@ class InferenceProcess:
 STATE = InferenceProcess()
 
 
+def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
+    """Path validation matching the reference UI's checks (web-ui.py
+    validate_beatmap_path/validate_audio_path)."""
+    p = Path(path)
+    if not p.is_file():
+        return False, "file does not exist"
+    if kind == "osu" and p.suffix.lower() != ".osu":
+        return False, "beatmap must be a .osu file"
+    if kind == "file" and p.suffix.lower() not in (
+            ".wav", ".mp3", ".ogg", ".flac", ".m4a"):
+        return False, f"unsupported audio extension {p.suffix}"
+    return True, ""
+
+
+def list_descriptors(config_name: str) -> list[str]:
+    """Descriptor vocabulary of the selected model's tokenizer (empty when
+    the model has no descriptor conditioning or no trained tokenizer)."""
+    try:
+        from ..config import InferenceConfig, load_config  # noqa: PLC0415
+        from ..inference.pipeline import load_tokenizer  # noqa: PLC0415
+        args = load_config(InferenceConfig, "inference", config_name)
+        if not args.train.data.add_descriptors:
+            return []
+        return sorted(load_tokenizer(args).descriptor_idx)
+    except Exception:
+        return []
+
+
 def build_overrides(form: dict) -> tuple[str, list[str]]:
     config = form.get("config") or "default"
     overrides = []
@@ -110,9 +169,17 @@ def build_overrides(form: dict) -> tuple[str, list[str]]:
         value = form.get(key)
         if value:
             overrides.append(f"{key}={value}")
-    if form.get("descriptors"):
-        descriptors = ",".join(d.strip() for d in form["descriptors"].split(","))
-        overrides.append(f"descriptors=[{descriptors}]")
+    selected = list(form.get("descriptor_select") or [])
+    typed = [d.strip() for d in (form.get("descriptors") or "").split(",")
+             if d.strip()]
+    descriptors = selected + [d for d in typed if d not in selected]
+    if descriptors:
+        overrides.append(f"descriptors=[{','.join(descriptors)}]")
+    negative = [d.strip() for d in
+                (form.get("negative_descriptors") or "").split(",")
+                if d.strip()]
+    if negative:
+        overrides.append(f"negative_descriptors=[{','.join(negative)}]")
     if form.get("extra"):
         overrides.extend(form["extra"].split())
     return config, overrides
@@ -150,7 +217,15 @@ class Handler(BaseHTTPRequestHandler):
         elif path == "/validate_path":
             q = parse_qs(urlparse(self.path).query)
             p = q.get("path", [""])[0]
-            self._send(200, json.dumps({"exists": Path(p).is_file()}),
+            kind = q.get("kind", ["file"])[0]
+            valid, reason = validate_path_kind(p, kind)
+            self._send(200, json.dumps({"exists": Path(p).is_file(),
+                                        "valid": valid, "reason": reason}),
+                       "application/json")
+        elif path == "/descriptors":
+            q = parse_qs(urlparse(self.path).query)
+            cfg = q.get("config", ["default"])[0]
+            self._send(200, json.dumps(list_descriptors(cfg)),
                        "application/json")
         else:
             self._send(404, "not found")
@@ -161,6 +236,20 @@ class Handler(BaseHTTPRequestHandler):
         body = self.rfile.read(length).decode() if length else "{}"
         if path == "/start_inference":
             form = json.loads(body)
+            audio = form.get("audio_path") or ""
+            ok, reason = validate_path_kind(audio, "file")
+            if not ok:
+                self._send(400, json.dumps({"error": f"audio_path: {reason}"}),
+                           "application/json")
+                return
+            bm = form.get("beatmap_path") or ""
+            if bm:
+                ok, reason = validate_path_kind(bm, "osu")
+                if not ok:
+                    self._send(400, json.dumps(
+                        {"error": f"beatmap_path: {reason}"}),
+                        "application/json")
+                    return
             config, overrides = build_overrides(form)
             STATE.start(["-cn", config] + overrides)
             self._send(200, json.dumps({"started": True}), "application/json")

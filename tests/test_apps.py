@@ -100,3 +100,18 @@ Mode: 0
     # constant 250ms gaps -> constant delta token
     assert len(set(w["input_ids"].tolist())) == 1
     assert w["label"] == w["input_ids"][0]
+
+
+def test_webui_descriptor_merge_and_validation():
+    from beatheritage_tpu.apps.webui import build_overrides, validate_path_kind
+    cfg, overrides = build_overrides({
+        "config": "tiny", "audio_path": "/a.mp3",
+        "descriptor_select": ["clean", "geometric"],
+        "descriptors": "geometric, messy",
+        "negative_descriptors": "chaotic",
+    })
+    assert cfg == "tiny"
+    assert "descriptors=[clean,geometric,messy]" in overrides  # deduped
+    assert "negative_descriptors=[chaotic]" in overrides
+    ok, why = validate_path_kind("/definitely/missing.mp3", "file")
+    assert not ok and "exist" in why
