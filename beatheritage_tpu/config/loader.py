@@ -27,7 +27,23 @@ from ..events import ContextType
 T = TypeVar("T")
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
-DEFAULT_CONFIG_DIR = _REPO_ROOT / "configs"
+
+
+def _resolve_config_dir() -> Path:
+    """Config root: $BEATHERITAGE_CONFIG_DIR overrides; else the repo-layout
+    configs/ next to the package; else a configs/ copy inside the package
+    (installed-wheel layout)."""
+    import os  # noqa: PLC0415
+    env = os.environ.get("BEATHERITAGE_CONFIG_DIR")
+    if env:
+        return Path(env)
+    repo = _REPO_ROOT / "configs"
+    if repo.is_dir():
+        return repo
+    return Path(__file__).resolve().parent.parent / "configs"
+
+
+DEFAULT_CONFIG_DIR = _resolve_config_dir()
 
 
 def _read_yaml(path: Path) -> dict:
