@@ -26,7 +26,7 @@ def main(argv=None) -> int:
     import optax
 
     from ..config import DiffusionTrainConfig, load_config
-    from ..data.dataset import batch_iterator
+    from ..data.dataset import repeating_batch_iterator
     from ..data.diffusion_dataset import DiffusionDataset
     from ..diffusion.sampler import training_losses
     from ..diffusion.schedule import DiffusionSchedule
@@ -53,16 +53,12 @@ def main(argv=None) -> int:
     mesh = build_mesh(-1, 1)
     max_t = cfg.model.max_diffusion_step
 
-    def step_fn(params, opt_state, ema, batch, key):
-        k_t, k_noise = jax.random.split(key)
-        b = batch["x"].shape[0]
-        ts = jax.random.randint(k_t, (b,), 0, max_t)
-
+    def step_fn(params, opt_state, ema, batch, ts, weights, key):
         def loss_fn(p):
             out = training_losses(
                 schedule,
                 lambda x, t: dit_forward(p, dims, x, t, batch["c"], batch["y"]),
-                batch["x"], ts, k_noise, l1=cfg.model.l1_loss)
+                batch["x"], ts, key, l1=cfg.model.l1_loss, weights=weights)
             return out["loss"], out
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -72,17 +68,26 @@ def main(argv=None) -> int:
         return params, opt_state, ema, aux
 
     step = jax.jit(step_fn, in_shardings=(replicated(mesh),) * 3
-                   + (batch_sharding(mesh), None),
+                   + (batch_sharding(mesh), batch_sharding(mesh),
+                      batch_sharding(mesh), None),
                    out_shardings=(replicated(mesh),) * 3 + (None,))
 
-    dataset = DiffusionDataset(cfg, tokenizer)
+    from ..diffusion.timestep_sampler import create_schedule_sampler
+    t_sampler = create_schedule_sampler(cfg.model.schedule_sampler, max_t)
+    t_rng = np.random.default_rng(cfg.seed)
+
+    batches = repeating_batch_iterator(
+        lambda: DiffusionDataset(cfg, tokenizer), cfg.optim.batch_size)
     key = jax.random.PRNGKey(cfg.seed)
     t0 = time.time()
-    for i, batch in enumerate(batch_iterator(dataset, cfg.optim.batch_size)):
+    for i, batch in enumerate(batches):
         if i >= cfg.optim.total_steps:
             break
         key, sub = jax.random.split(key)
-        params, opt_state, ema, aux = step(params, opt_state, ema, batch, sub)
+        ts, weights = t_sampler.sample(batch["x"].shape[0], t_rng)
+        params, opt_state, ema, aux = step(params, opt_state, ema, batch,
+                                           ts, weights, sub)
+        t_sampler.update_with_losses(ts, np.asarray(aux["per_sample"]))
         if (i + 1) % cfg.logging.every_steps == 0:
             print(f"step {i + 1}: loss={float(aux['loss']):.4f} "
                   f"mse={float(aux['mse']):.4f} vb={float(aux['vb']):.4f} "

@@ -263,6 +263,8 @@ class DiffusionModelConfig:
     diffusion_steps: int = 1000
     max_diffusion_step: int = 100
     context_size: int = 272
+    # "uniform" or "loss-second-moment" (Improved-DDPM importance sampling)
+    schedule_sampler: str = "uniform"
 
 
 @dataclass

@@ -98,7 +98,7 @@ def p_sample_loop(schedule: DiffusionSchedule, model_fn: Callable,
 
 def training_losses(schedule: DiffusionSchedule, model_fn: Callable,
                     x_start: jnp.ndarray, t: jnp.ndarray, key: jax.Array, *,
-                    l1: bool = False) -> dict:
+                    l1: bool = False, weights: jnp.ndarray = None) -> dict:
     """MSE (or L1) on epsilon + rescaled VLB term for the learned variance
     (mean frozen), as in guided-diffusion's LossType.MSE with LEARNED_RANGE
     (reference gaussian_diffusion.py:785)."""
@@ -128,4 +128,8 @@ def training_losses(schedule: DiffusionSchedule, model_fn: Callable,
     vb = kl * schedule.num_steps / 1000.0
 
     loss = mse + vb
-    return {"loss": loss.mean(), "mse": mse.mean(), "vb": vb.mean()}
+    # importance weights from a loss-aware timestep sampler keep the
+    # expectation unbiased (timestep_sampler.py)
+    w = jnp.ones_like(loss) if weights is None else weights
+    return {"loss": (loss * w).mean(), "mse": mse.mean(), "vb": vb.mean(),
+            "per_sample": loss}

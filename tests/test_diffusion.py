@@ -200,3 +200,29 @@ def test_load_diffusion_model_with_refine_ckpt(tmp_path):
     args.diff_ckpt = ""
     diff_params, _ = load_diffusion_model(args)
     assert diff_params is None
+
+
+def test_loss_second_moment_resampler():
+    from beatheritage_tpu.diffusion.timestep_sampler import (
+        LossSecondMomentResampler, create_schedule_sampler)
+    rng = np.random.default_rng(0)
+    s = LossSecondMomentResampler(num_timesteps=8, history_per_term=3)
+    # uniform until every timestep has 3 observations
+    ts, w = s.sample(16, rng)
+    assert w.tolist() == [1.0] * 16
+    for t in range(8):
+        s.update_with_losses([t] * 3, [0.1 if t < 4 else 10.0] * 3)
+    assert s._warmed_up()
+    p = s.weights()
+    assert p.sum() == pytest.approx(1.0)
+    # high-loss timesteps get sampled far more often
+    assert p[4:].sum() > 0.9
+    ts, w = s.sample(256, rng)
+    assert (np.bincount(ts, minlength=8)[4:].sum()
+            > np.bincount(ts, minlength=8)[:4].sum())
+    # importance weights undo the bias: E[w * 1{t}] = 1/T per t
+    assert w[ts >= 4].mean() < 1.0 < w[ts < 4].mean()
+    assert isinstance(create_schedule_sampler("uniform", 8).sample(4, rng)[0][0],
+                      np.int32)
+    with pytest.raises(ValueError):
+        create_schedule_sampler("nope", 8)
