@@ -365,6 +365,10 @@ class InferenceConfig:
     top_k: int = 0
     repetition_penalty: float = 1.0
     parallel: bool = False
+    # pad every prompt to tgt_seq_len//2 so the decode program compiles once
+    # instead of once per pow2 prompt bucket (XLA recompiles are the dominant
+    # cold-start cost on TPU); false restores the tighter bucketed padding
+    fixed_prompt_pad: bool = True
     do_sample: bool = True
     num_beams: int = 1
     super_timing: bool = False

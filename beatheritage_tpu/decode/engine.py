@@ -60,8 +60,10 @@ class SamplerSettings:
     cfg_scale: float = 1.0
     types_first: bool = True
     do_sample: bool = True
-    lookback_time: float = 0.0
-    lookahead_time: float = 0.0
+    # static gate only; the lookback token mask itself is a DYNAMIC argument
+    # to generate() so per-window lookback/lookahead values don't fragment
+    # the jit cache (each extra variant costs a full decode recompile)
+    use_lookback: bool = False
 
     @property
     def cfg_on(self) -> bool:
@@ -214,7 +216,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
              prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
              eos_mask: jnp.ndarray, key: jax.Array, *, max_len: int,
              dtype=jnp.bfloat16,
-             enc_mask: Optional[jnp.ndarray] = None):
+             enc_mask: Optional[jnp.ndarray] = None,
+             lookback_mask: Optional[jnp.ndarray] = None):
     """Generate until EOS or `max_len` total positions.
 
     enc_hidden (Bm, S, D), prompt (Bm, P) left-padded, prompt_mask (Bm, P);
@@ -226,10 +229,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     """
     bm, p_len = prompt.shape
     b = bm // 2 if settings.cfg_on else bm
-    lookback_tokens = int(settings.lookback_time / MILISECONDS_PER_STEP)
-    lookback_mask = np.zeros(tables.vocab_size_out, dtype=bool)
-    lookback_mask[tables.time_start:tables.time_start + lookback_tokens] = True
-    lookback_mask = jnp.asarray(lookback_mask)
+    if lookback_mask is None:
+        lookback_mask = jnp.zeros(tables.vocab_size_out, dtype=bool)
     timed_mask = jnp.asarray(tables.timed_token_mask)
 
     cache = init_self_cache(dims, bm, max_len, dtype)
@@ -286,7 +287,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         prev3 = s["tokens"][:b, jnp.clip(step - 3, 0)]
         logits = conditional_temperature(logits, prev1, prev3, settings, tables)
         pre_lookback = logits
-        if settings.lookback_time > 0:
+        if settings.use_lookback:
             logits = lookback_bias(logits, s["last_scores"], prev1,
                                    s["have_last"], timed_mask, lookback_mask,
                                    tables.eos_prob_ids, tables.time_start,

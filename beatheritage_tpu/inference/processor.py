@@ -170,6 +170,7 @@ class Processor:
         self.parallel = args.parallel
         self.max_batch_size = args.max_batch_size
         self.num_beams = args.num_beams
+        self.fixed_prompt_pad = getattr(args, "fixed_prompt_pad", True)
         self.settings_base = dict(
             temperature=args.temperature,
             timing_temperature=args.timing_temperature,
@@ -240,6 +241,9 @@ class Processor:
         (post-prompt) token arrays per row, EOS trimmed by the caller."""
         b, p_raw = cond_prompt.shape
         p = min(_bucket(p_raw + 1), self.tgt_seq_len)
+        if self.fixed_prompt_pad:
+            # one prefill shape for all windows -> one decode compile
+            p = max(p, self.tgt_seq_len // 2)
         cfg_on = self.cfg_scale > 1 and uncond_prompt is not None
 
         def left_pad(x):
@@ -254,13 +258,21 @@ class Processor:
             enc_hidden = jnp.concatenate([enc_hidden, enc_hidden], axis=0)
         mask = prompt != self.tokenizer.pad_id
 
+        # lookback/lookahead enter as DYNAMIC arrays (eos + lookback masks)
+        # so every window shares one compiled decode program; only the
+        # use_lookback bool is part of the jit cache key
         settings = SamplerSettings(
-            lookback_time=lookback_time, lookahead_time=lookahead_time,
+            use_lookback=lookback_time > 0,
             **{**self.settings_base,
                "cfg_scale": self.cfg_scale if cfg_on else 1.0})
         eos_mask = jnp.asarray(self.tables.eos_token_mask(
             lookback_time=lookback_time, lookahead_time=lookahead_time,
             context_type=context_type))
+        lb_tokens = int(lookback_time / MILISECONDS_PER_STEP)
+        lookback_mask = np.zeros(self.tables.vocab_size_out, dtype=bool)
+        lookback_mask[self.tables.time_start:
+                      self.tables.time_start + lb_tokens] = True
+        lookback_mask = jnp.asarray(lookback_mask)
 
         if (self.num_beams > 1 and not settings.do_sample and not cfg_on):
             from ..decode.engine import beam_generate  # noqa: PLC0415
@@ -273,7 +285,8 @@ class Processor:
             out = engine_generate(
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 jnp.asarray(prompt), jnp.asarray(mask), eos_mask, self._next_key(),
-                max_len=self.tgt_seq_len, dtype=self.dtype)
+                max_len=self.tgt_seq_len, dtype=self.dtype,
+                lookback_mask=lookback_mask)
         tokens = np.asarray(out["tokens"])
         length = int(out["length"])
         return [tokens[i, p:length] for i in range(b)]

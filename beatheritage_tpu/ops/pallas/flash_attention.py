@@ -25,8 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, is_causal: bool,
-                 block_q: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                 is_causal: bool, block_q: int):
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (block_q, D)
     k = k_ref[0].astype(jnp.float32)  # (T, D)
@@ -37,7 +37,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, is_causal: bool,
         preferred_element_type=jnp.float32) * scale  # (block_q, T)
 
     if is_causal:
-        t = k.shape[0]
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
@@ -50,38 +49,78 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, is_causal: bool,
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
+    # saved for the backward pass; lse laid out (bh, 1, tq) so the block's
+    # trailing dims satisfy Mosaic tiling rules
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("is_causal", "block_q", "interpret"))
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                    mask=None, is_causal: bool = False, block_q: int = 256,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Attention (B, H, Tq, D) x (B, H, Tk, D) -> (B, H, Tq, D).
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, is_causal: bool,
+                     block_q: int):
+    qi = pl.program_id(1)
 
-    Arbitrary masks are not supported here (callers fall back to the XLA
-    path); `is_causal` is. Tq is padded to a block multiple internally.
-    """
-    if mask is not None:
-        raise NotImplementedError("arbitrary masks use the XLA path")
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)    # (block_q, D)
+    k = k_ref[0].astype(jnp.float32)    # (T, D)
+    v = v_ref[0].astype(jnp.float32)    # (T, D)
+    do = do_ref[0].astype(jnp.float32)  # (block_q, D)
+    lse = lse_ref[0, 0][:, None]        # (block_q, 1)
+    delta = delta_ref[0, 0][:, None]    # (block_q, 1) = rowsum(do * o)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if is_causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    p = jnp.exp(s - lse)                # softmax probabilities, (block_q, T)
+
+    # dv += p^T . do ; dp = do . v^T ; ds = p * (dp - delta); dq = ds . k
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _pad_q(x, block_q):
+    tq = x.shape[2]
+    pad = (-tq) % block_q
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x, tq + pad
+
+
+def _fwd_impl(q, k, v, is_causal, block_q, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = d ** -0.5
-
     block_q = min(block_q, max(tq, 16))
-    pad_q = (-tq) % block_q
-    if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    tq_p = tq + pad_q
+    qp, tq_p = _pad_q(q, block_q)
 
-    qf = q.reshape(b * h, tq_p, d)
+    qf = qp.reshape(b * h, tq_p, d)
     kf = k.reshape(b * h, tk, d)
     vf = v.reshape(b * h, tk, d)
 
     grid = (b * h, tq_p // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, is_causal=is_causal,
                           block_q=block_q),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, 1, tq_p), jnp.float32)],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -91,9 +130,96 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)],
         interpret=interpret,
     )(qf, kf, vf)
-    out = out.reshape(b, h, tq_p, d)
-    return out[:, :, :tq] if pad_q else out
+    o = out.reshape(b, h, tq_p, d)[:, :, :tq]
+    return o, (qf, kf, vf, out, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, is_causal, block_q, interpret):
+    return _fwd_impl(q, k, v, is_causal, block_q, interpret)[0]
+
+
+def _flash_fwd(q, k, v, is_causal, block_q, interpret):
+    o, res = _fwd_impl(q, k, v, is_causal, block_q, interpret)
+    return o, (res, q.shape)
+
+
+def _flash_bwd(is_causal, block_q, interpret, residuals, do):
+    """Flash-attention backward: recompute probabilities blockwise from the
+    saved logsumexp; dK/dV accumulate across the (sequential) query-block
+    grid dimension into revisited output blocks."""
+    (qf, kf, vf, of, lse), (b, h, tq, d) = residuals
+    bh, tq_p, _ = qf.shape
+    tk = kf.shape[1]
+    scale = d ** -0.5
+    blk = min(block_q, max(tq, 16))
+
+    dop, _ = _pad_q(do, blk)
+    dof = dop.reshape(bh, tq_p, d)
+    # delta_i = rowsum(dO_i * O_i); zero on padded rows since dO pads zero
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # (bh, 1, tq_p)
+
+    grid = (bh, tq_p // blk)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, is_causal=is_causal,
+                          block_q=blk),
+        out_shape=[jax.ShapeDtypeStruct((bh, tq_p, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, tk, d), jnp.float32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # dK/dV blocks ignore j: revisited every query step (accumulate)
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dq = dq.reshape(b, h, tq_p, d)[:, :, :tq].astype(qf.dtype)
+    dk = dk.reshape(b, h, tk, d).astype(kf.dtype)
+    dv = dv.reshape(b, h, tk, d).astype(vf.dtype)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("is_causal", "block_q", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    mask=None, is_causal: bool = False, block_q: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Attention (B, H, Tq, D) x (B, H, Tk, D) -> (B, H, Tq, D).
+
+    Differentiable (custom VJP with a Pallas backward kernel), so the
+    training path can use it too. Arbitrary masks are not supported here
+    (callers fall back to the XLA path); `is_causal` is. Tq is padded to a
+    block multiple internally.
+    """
+    if mask is not None:
+        raise NotImplementedError("arbitrary masks use the XLA path")
+    return _flash(q, k, v, is_causal, block_q, interpret)

@@ -70,3 +70,29 @@ def test_fused_mel_reflect_pad():
                                 pad_mode="reflect", block_t=32, interpret=True,
                                 dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("is_causal,tq", [(False, 128), (True, 96)])
+def test_flash_attention_backward_matches_xla(is_causal, tq):
+    """Custom-VJP backward kernel vs XLA autodiff gradients (incl. ragged
+    tq exercising the padded rows in dK/dV accumulation)."""
+    b, h, d, tk = 2, 2, 64, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, h, tq, d))
+    k = jax.random.normal(ks[1], (b, h, tk if not is_causal else tq, d))
+    v = jax.random.normal(ks[2], k.shape)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, is_causal=is_causal, block_q=32,
+                            interpret=True)
+        return (o * jnp.cos(o)).sum()  # nonlinear so dO varies per element
+
+    def loss_ref(q, k, v):
+        o = dot_product_attention(q, k, v, is_causal=is_causal)
+        return (o * jnp.cos(o)).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3,
+                                   rtol=5e-3, err_msg=f"d{name}")
