@@ -365,6 +365,9 @@ class InferenceConfig:
     top_k: int = 0
     repetition_penalty: float = 1.0
     parallel: bool = False
+    # shard the window batch over all local devices (pure DP over windows;
+    # SURVEY §5: the TPU-native multi-chip inference plan)
+    data_parallel_windows: bool = False
     # pad every prompt to tgt_seq_len//2 so the decode program compiles once
     # instead of once per pow2 prompt bucket (XLA recompiles are the dominant
     # cold-start cost on TPU); false restores the tighter bucketed padding

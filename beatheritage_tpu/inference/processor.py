@@ -118,6 +118,19 @@ class Processor:
         self.tables = TokenTables.from_tokenizer(tokenizer)
         self.dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
 
+        # multi-chip inference: shard the window batch over the data axis
+        # (SURVEY §5 long-context plan: pure DP over windows in parallel
+        # mode; XLA SPMD propagates the batch sharding through the fused
+        # decode program, gradients-free so no collectives beyond layout)
+        self.mesh = None
+        self._params_replicated = False
+        if getattr(args, "data_parallel_windows", False):
+            import jax as _jax  # noqa: PLC0415
+            n = len(_jax.devices())
+            if n > 1:
+                from ..parallel import build_mesh  # noqa: PLC0415
+                self.mesh = build_mesh(data=n, model=1)
+
         self.tgt_seq_len = d.tgt_seq_len
         self.frame_seq_len = d.src_seq_len - 1
         self.frame_size = args.train.model.spectrogram.hop_length
@@ -246,6 +259,22 @@ class Processor:
             p = max(p, self.tgt_seq_len // 2)
         cfg_on = self.cfg_scale > 1 and uncond_prompt is not None
 
+        if self.mesh is not None:
+            # window data-parallelism: pad the window batch so each half of
+            # the (possibly CFG-doubled) batch divides the data axis; padded
+            # rows duplicate row 0 and are dropped on return
+            n = int(self.mesh.devices.size)
+            b_pad = (-b) % n
+            if b_pad:
+                cond_prompt = np.concatenate(
+                    [cond_prompt, np.repeat(cond_prompt[:1], b_pad, axis=0)])
+                if uncond_prompt is not None:
+                    uncond_prompt = np.concatenate(
+                        [uncond_prompt,
+                         np.repeat(uncond_prompt[:1], b_pad, axis=0)])
+                enc_hidden = jnp.concatenate(
+                    [enc_hidden, jnp.repeat(enc_hidden[:1], b_pad, axis=0)])
+
         def left_pad(x):
             out = np.full((x.shape[0], p), self.tokenizer.pad_id, np.int32)
             k = min(x.shape[1], p)
@@ -256,7 +285,6 @@ class Processor:
         if cfg_on:
             prompt = np.concatenate([prompt, left_pad(uncond_prompt)], axis=0)
             enc_hidden = jnp.concatenate([enc_hidden, enc_hidden], axis=0)
-        mask = prompt != self.tokenizer.pad_id
 
         # lookback/lookahead enter as DYNAMIC arrays (eos + lookback masks)
         # so every window shares one compiled decode program; only the
@@ -274,17 +302,32 @@ class Processor:
                       self.tables.time_start + lb_tokens] = True
         lookback_mask = jnp.asarray(lookback_mask)
 
+        prompt_j, mask_j = jnp.asarray(prompt), jnp.asarray(prompt != self.tokenizer.pad_id)
+        if self.mesh is not None:
+            import jax as _jax  # noqa: PLC0415
+            from jax.sharding import NamedSharding, PartitionSpec as _P  # noqa: PLC0415
+            batch_s = NamedSharding(self.mesh, _P("data"))
+            rep = NamedSharding(self.mesh, _P())
+            prompt_j = _jax.device_put(prompt_j, batch_s)
+            mask_j = _jax.device_put(mask_j, batch_s)
+            enc_hidden = _jax.device_put(enc_hidden, batch_s)
+            eos_mask = _jax.device_put(eos_mask, rep)
+            lookback_mask = _jax.device_put(lookback_mask, rep)
+            if not self._params_replicated:
+                self.params = _jax.device_put(self.params, rep)
+                self._params_replicated = True
+
         if (self.num_beams > 1 and not settings.do_sample and not cfg_on):
             from ..decode.engine import beam_generate  # noqa: PLC0415
             out = beam_generate(
                 self.params, self.dims, settings, self.tables, enc_hidden,
-                jnp.asarray(prompt), jnp.asarray(mask), eos_mask,
+                prompt_j, mask_j, eos_mask,
                 max_len=self.tgt_seq_len, num_beams=self.num_beams,
                 dtype=self.dtype)
         else:
             out = engine_generate(
                 self.params, self.dims, settings, self.tables, enc_hidden,
-                jnp.asarray(prompt), jnp.asarray(mask), eos_mask, self._next_key(),
+                prompt_j, mask_j, eos_mask, self._next_key(),
                 max_len=self.tgt_seq_len, dtype=self.dtype,
                 lookback_mask=lookback_mask)
         tokens = np.asarray(out["tokens"])

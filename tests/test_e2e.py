@@ -152,3 +152,37 @@ def test_full_pipeline_writes_valid_osu(args, wav, tmp_path):
     assert bm.audio_filename == "clicks.wav"
     text = open(path, encoding="utf-8-sig").read()
     assert "[HitObjects]" in text and "[TimingPoints]" in text
+
+
+def test_data_parallel_windows_matches_single_device(args, wav):
+    """Window-DP inference over the 8-device CPU mesh produces the same
+    tokens as the unsharded path (same PRNG keys, same math)."""
+    import dataclasses
+    from beatheritage_tpu.inference.pipeline import (build_configs,
+                                                     load_model,
+                                                     load_tokenizer)
+    from beatheritage_tpu.inference.preprocessor import Preprocessor
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True)
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    gen_cfg, _ = build_configs(base)
+    pre = Preprocessor(base, parallel=True)
+    audio = pre.load(wav)
+    sequences = pre.segment(audio)
+
+    outs = {}
+    for dp in (False, True):
+        cfg = dataclasses.replace(base, data_parallel_windows=dp)
+        proc = Processor(cfg, params, tok, verbose=False)
+        assert (proc.mesh is not None) == dp
+        events, times = zip(*proc.generate(
+            sequences=sequences, generation_config=gen_cfg,
+            in_context=cfg.in_context, out_context=cfg.output_type,
+            verbose=False))
+        outs[dp] = (events, times)
+
+    assert len(outs[False][0]) == len(outs[True][0])
+    for (e0, e1) in zip(outs[False][0], outs[True][0]):
+        assert [str(e) for e in e0] == [str(e) for e in e1]
