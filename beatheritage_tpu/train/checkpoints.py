@@ -32,6 +32,9 @@ def restore_params(directory, dims=None, template=None):
         # metadata so arrays land on the current default device instead of
         # the device recorded at save time (a CPU-saved checkpoint must
         # restore inside a TPU process and vice versa)
+        if not (directory / "params").exists():
+            raise FileNotFoundError(
+                f"no checkpoint at {directory / 'params'}")
         meta = ckptr.metadata(directory / "params").item_metadata
         sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         abstract = jax.tree.map(
