@@ -257,6 +257,11 @@ class Processor:
         if self.fixed_prompt_pad:
             # one prefill shape for all windows -> one decode compile
             p = max(p, self.tgt_seq_len // 2)
+        # always reserve decode budget: a prompt whose bucket reaches
+        # tgt_seq_len would otherwise generate nothing (the reference keeps
+        # the raw prompt length and generates tgt - p_raw tokens); drop the
+        # oldest context instead
+        p = max(min(p, self.tgt_seq_len - 64), 16)
         cfg_on = self.cfg_scale > 1 and uncond_prompt is not None
 
         if self.mesh is not None:
