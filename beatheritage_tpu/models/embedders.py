@@ -73,16 +73,18 @@ def apply_difficulty_embedder(params, difficulty: jnp.ndarray,
 # -- mapper style ---------------------------------------------------------------
 
 def init_mapper_embedder(key, num_mappers: int, embedding_dim: int = 64):
+    # row num_mappers (the last) is the unknown-mapper default; the count is
+    # recovered from the table shape so the pytree stays all-float (an int
+    # leaf would break jax.grad over params)
     return {
         "table": jax.random.normal(key, (num_mappers + 1, embedding_dim)) * 0.02,
         "ln_g": jnp.ones(embedding_dim), "ln_b": jnp.zeros(embedding_dim),
-        "num_mappers": num_mappers,
     }
 
 
 def apply_mapper_embedder(params, mapper_ids: jnp.ndarray) -> jnp.ndarray:
     """mapper_ids (B,) int; -1 selects the default-style row."""
-    num = params["num_mappers"]
+    num = params["table"].shape[0] - 1
     ids = jnp.where(mapper_ids == -1, num, mapper_ids)
     ids = jnp.clip(ids, 0, num)
     emb = params["table"][ids]

@@ -275,7 +275,7 @@ def build_condition_vector(params, dims: ModelDims, batch: int,
 def encode(params, dims: ModelDims, cfg, audio: jnp.ndarray, *,
            beatmap_idx=None, difficulty=None, mapper_idx=None,
            song_position=None, dtype=jnp.bfloat16,
-           use_flash: bool = False) -> jnp.ndarray:
+           use_flash: bool = False, remat: bool = False) -> jnp.ndarray:
     """Raw audio (B, n_samples) -> encoder hidden states (B, S/2, D)."""
     mel = mel_from_config(audio, cfg.model.spectrogram, dtype=dtype)  # (B,S,M)
     b, s, _ = mel.shape
@@ -312,7 +312,11 @@ def encode(params, dims: ModelDims, cfg, audio: jnp.ndarray, *,
         h = h + _ffn(layer, rms_norm(h, layer["ln2"]["g"]))
         return h, None
 
-    x, _ = jax.lax.scan(layer_fn, x, params["encoder"]["layers"])
+    # per-layer remat: store only the 12 layer inputs, recompute the rest in
+    # the backward (whole-forward checkpointing still saves every layer's
+    # scan residuals simultaneously, which blows HBM at T=8192)
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    x, _ = jax.lax.scan(body, x, params["encoder"]["layers"])
     return rms_norm(x, params["encoder"]["lnf"]["g"])
 
 
@@ -322,7 +326,8 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
                  enc_hidden: jnp.ndarray, *,
                  decoder_attention_mask: Optional[jnp.ndarray] = None,
                  encoder_attention_mask: Optional[jnp.ndarray] = None,
-                 dtype=jnp.bfloat16, use_flash: bool = False) -> jnp.ndarray:
+                 dtype=jnp.bfloat16, use_flash: bool = False,
+                 remat: bool = False) -> jnp.ndarray:
     """Teacher-forced decode: token ids (B, T) -> logits (B, T, vocab_out)."""
     x = params["dec_embed"].astype(dtype)[decoder_input_ids]
     t = x.shape[1]
@@ -333,7 +338,14 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
         dtype=dtype)
 
     self_mask = None
-    if decoder_attention_mask is not None:
+    if decoder_attention_mask is not None and not use_flash:
+        # With flash attention the padding key-mask is dropped: training
+        # batches are right-padded, so under the causal mask real tokens
+        # never attend to pad keys — only pad queries do, and their loss is
+        # ignored (-100). This keeps the Pallas kernel (which rejects
+        # arbitrary masks) usable for the long-sequence training path where
+        # XLA's attention backward would materialize (B, H, T, T) scores
+        # per layer (154 GB at B=4, T=8192 — far past HBM).
         self_mask = decoder_attention_mask[:, None, None, :].astype(bool)
     cross_mask = None
     if encoder_attention_mask is not None:
@@ -354,7 +366,8 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
         h = h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
         return h, None
 
-    x, _ = jax.lax.scan(layer_fn, x, params["decoder"]["layers"])
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    x, _ = jax.lax.scan(body, x, params["decoder"]["layers"])
     x = rms_norm(x, params["decoder"]["lnf"]["g"])
     return (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
 
@@ -362,14 +375,15 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
 def forward(params, dims: ModelDims, cfg, audio, decoder_input_ids, *,
             decoder_attention_mask=None, beatmap_idx=None, difficulty=None,
             mapper_idx=None, song_position=None, dtype=jnp.bfloat16,
-            use_flash: bool = False) -> jnp.ndarray:
+            use_flash: bool = False, remat: bool = False) -> jnp.ndarray:
     """Full seq2seq forward: audio + decoder ids -> logits."""
     enc = encode(params, dims, cfg, audio, beatmap_idx=beatmap_idx,
                  difficulty=difficulty, mapper_idx=mapper_idx,
-                 song_position=song_position, dtype=dtype, use_flash=use_flash)
+                 song_position=song_position, dtype=dtype,
+                 use_flash=use_flash, remat=remat)
     return decode_train(params, dims, decoder_input_ids, enc,
                         decoder_attention_mask=decoder_attention_mask,
-                        dtype=dtype, use_flash=use_flash)
+                        dtype=dtype, use_flash=use_flash, remat=remat)
 
 
 # -- loss --------------------------------------------------------------------------

@@ -56,7 +56,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float, is_causal: bool,
-                     block_q: int):
+                     block_q: int, block_k: int):
+    """Backward over one query block, looping K in chunks so the (block_q,
+    block_k) f32 intermediates stay far under the VMEM scope even at
+    T=8192; probabilities are recomputed from the saved logsumexp (no
+    online-softmax bookkeeping needed). dK/dV accumulate across the
+    sequential query-block grid dimension AND across k-chunks via
+    read-modify-write stores."""
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
@@ -65,35 +71,45 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     q = q_ref[0].astype(jnp.float32)    # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)    # (T, D)
-    v = v_ref[0].astype(jnp.float32)    # (T, D)
     do = do_ref[0].astype(jnp.float32)  # (block_q, D)
     lse = lse_ref[0, 0][:, None]        # (block_q, 1)
     delta = delta_ref[0, 0][:, None]    # (block_q, 1) = rowsum(do * o)
+    d = q.shape[-1]
+    n_chunks = k_ref.shape[1] // block_k
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    if is_causal:
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-    p = jnp.exp(s - lse)                # softmax probabilities, (block_q, T)
+    def chunk_body(c, dq_acc):
+        ks = pl.ds(c * block_k, block_k)
+        kc = k_ref[0, ks, :].astype(jnp.float32)   # (block_k, D)
+        vc = v_ref[0, ks, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if is_causal:
+            q_pos = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            k_pos = (c * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)            # (block_q, block_k)
 
-    # dv += p^T . do ; dp = do . v^T ; ds = p * (dp - delta); dq = ds . k
-    dv_ref[0] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        # dv[c] += p^T . do ; dp = do . v^T ; ds = p*(dp-delta) ; dq += ds.k
+        dv_ref[0, ks, :] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_ref[0, ks, :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        return dq_acc + jax.lax.dot_general(
+            ds, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _pad_q(x, block_q):
@@ -104,11 +120,20 @@ def _pad_q(x, block_q):
     return x, tq + pad
 
 
+def _fwd_block(tk: int, block_q: int) -> int:
+    """Shrink the query block as K grows: the f32 score block (block_q, tk)
+    must fit VMEM next to K/V (16 MB scoped limit; 256x8192 f32 alone is
+    8 MB and the forward keeps two such intermediates)."""
+    if tk > 4096:
+        return min(block_q, 128)
+    return block_q
+
+
 def _fwd_impl(q, k, v, is_causal, block_q, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = d ** -0.5
-    block_q = min(block_q, max(tq, 16))
+    block_q = min(_fwd_block(tk, block_q), max(tq, 16))
     qp, tq_p = _pad_q(q, block_q)
 
     qf = qp.reshape(b * h, tq_p, d)
@@ -135,6 +160,8 @@ def _fwd_impl(q, k, v, is_causal, block_q, interpret):
                    pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qf, kf, vf)
     o = out.reshape(b, h, tq_p, d)[:, :, :tq]
     return o, (qf, kf, vf, out, lse)
@@ -158,21 +185,25 @@ def _flash_bwd(is_causal, block_q, interpret, residuals, do):
     bh, tq_p, _ = qf.shape
     tk = kf.shape[1]
     scale = d ** -0.5
-    blk = min(block_q, max(tq, 16))
+    blk = min(_fwd_block(tk, block_q), max(tq, 16))
+    acc_dtype = jnp.float32  # exact dK/dV accumulation (VMEM limit raised)
 
-    dop, _ = _pad_q(do, blk)
+    pad = tq_p - tq  # match the forward's padded length exactly
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else do
     dof = dop.reshape(bh, tq_p, d)
     # delta_i = rowsum(dO_i * O_i); zero on padded rows since dO pads zero
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1)[:, None, :]  # (bh, 1, tq_p)
 
+    block_k = next((c for c in (1024, 512, 256, 128)
+                    if tk % c == 0), tk)
     grid = (bh, tq_p // blk)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, is_causal=is_causal,
-                          block_q=blk),
+                          block_q=blk, block_k=block_k),
         out_shape=[jax.ShapeDtypeStruct((bh, tq_p, d), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, tk, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((bh, tk, d), acc_dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), acc_dtype)],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
@@ -198,6 +229,8 @@ def _flash_bwd(is_causal, block_q, interpret, residuals, do):
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(qf, kf, vf, dof, lse, delta)
 
     dq = dq.reshape(b, h, tq_p, d)[:, :, :tq].astype(qf.dtype)

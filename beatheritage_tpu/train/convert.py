@@ -155,7 +155,6 @@ def convert_reference_state_dict(sd: Mapping, dims: ModelDims) -> dict:
             "table": _t(sd["mapper_embedder.embedding.weight"]),
             "ln_g": _t(sd["mapper_embedder.layer_norm.weight"]),
             "ln_b": _t(sd["mapper_embedder.layer_norm.bias"]),
-            "num_mappers": _t(sd["mapper_embedder.embedding.weight"]).shape[0] - 1,
         }
     if "song_pos_embedder.basis_centers" in sd:
         params["cond"]["song_pos"] = _mlp_cond(sd, "song_pos_embedder",

@@ -159,6 +159,8 @@ def evaluate_batches(eval_step, params, batches, tokenizer, args,
         loss, logits = eval_step(params, batch)
         preds = np.argmax(np.asarray(logits), axis=-1)
         labels = np.asarray(batch["labels"])
+        averager.update(time_in_window_accuracy(preds, labels, tokenizer))
+        averager.update(timeshift_offset_histogram(preds, labels, tokenizer))
         buckets = context_buckets(np.asarray(batch["decoder_input_ids"]),
                                   tokenizer, args)
         any_bucket = False

@@ -55,17 +55,19 @@ def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
     class_weights = rhythm_class_weights(dims)
 
     def loss_fn(params, batch):
-        fwd = forward
-        if cfg.gradient_checkpointing:
-            fwd = jax.checkpoint(forward, static_argnums=(1, 2))
-        logits = fwd(
+        # gradient checkpointing remats PER LAYER inside the scans (only the
+        # layer inputs are stored); checkpointing the whole forward would
+        # still save every layer's scan residuals simultaneously — 30+ GB
+        # at B=4, T=8192
+        logits = forward(
             params, dims, cfg, batch["frames"], batch["decoder_input_ids"],
             decoder_attention_mask=batch.get("decoder_attention_mask"),
             beatmap_idx=batch.get("beatmap_idx"),
             difficulty=batch.get("difficulty"),
             mapper_idx=batch.get("mapper_idx"),
             song_position=batch.get("song_position"),
-            dtype=dtype, use_flash=use_flash)
+            dtype=dtype, use_flash=use_flash,
+            remat=cfg.gradient_checkpointing)
         loss, n_tokens = weighted_cross_entropy(
             logits, batch["labels"], class_weights,
             label_smoothing=dims.label_smoothing,
@@ -206,10 +208,17 @@ class Trainer:
         self.schedule = schedule
         self.optimizer = build_optimizer(self.cfg.optim, schedule)
         self.state = init_train_state(self.params, self.optimizer)
+        # Pallas kernels only compile on TPU (CPU would need interpret mode).
+        # Flash training also drops the decoder padding key-mask, which is
+        # loss-exact only for tail padding — center_pad_decoder layouts put
+        # pads before the content, so they keep the masked XLA path.
+        use_flash = (self.cfg.flash_attention
+                     and jax.default_backend() == "tpu"
+                     and not self.cfg.data.center_pad_decoder)
         self.train_step = make_train_step(
             self.dims, self.cfg, self.optimizer, self.mesh,
             grad_acc=self.cfg.optim.grad_acc,
-            use_flash=self.cfg.flash_attention,
+            use_flash=use_flash,
             dtype=jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32)
 
     def fit(self, batches: Iterator[dict], max_steps: Optional[int] = None) -> dict:

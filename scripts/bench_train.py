@@ -1,0 +1,79 @@
+"""Training-step throughput on the current device (single chip or mesh).
+
+Measures the fused pjit train step (forward+backward+Muon update) for the
+flagship config at a realistic micro-batch, reporting steps/s, tokens/s and
+a rough model-FLOPs utilisation estimate. Run:
+    python scripts/bench_train.py [--batch 8] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="beatheritage_v1")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--steps", type=int, default=20)
+    ns = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from beatheritage_tpu.config import TrainConfig, load_config
+    from beatheritage_tpu.models import ModelDims, init_params
+    from beatheritage_tpu.models.transformer import param_count
+    from beatheritage_tpu.tokenizer import Tokenizer
+    from beatheritage_tpu.train.train_loop import Trainer
+
+    cfg = load_config(TrainConfig, "train", ns.config
+                      if ns.config != "beatheritage_v1" else "beatheritage_v1")
+    cfg.optim.batch_size = ns.batch
+    cfg.optim.grad_acc = 1
+    tok = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tok)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    n_params = param_count(params)
+
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
+
+    rng = np.random.RandomState(0)
+    src = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+    batch = {
+        "frames": rng.randn(ns.batch, src).astype(np.float32),
+        "decoder_input_ids": rng.randint(
+            3, tok.vocab_size_in, (ns.batch, cfg.data.tgt_seq_len)).astype(np.int32),
+        "labels": rng.randint(
+            0, tok.vocab_size_out, (ns.batch, cfg.data.tgt_seq_len)).astype(np.int32),
+        "decoder_attention_mask": np.ones(
+            (ns.batch, cfg.data.tgt_seq_len), np.int32),
+    }
+
+    t0 = time.time()
+    trainer.state, metrics = trainer.train_step(trainer.state, batch)  # compile
+    _ = float(metrics["loss"])
+    print(f"compile: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(ns.steps):
+        trainer.state, metrics = trainer.train_step(trainer.state, batch)
+    _ = float(metrics["loss"])  # sync
+    dt = (time.time() - t0) / ns.steps
+
+    tokens = ns.batch * cfg.data.tgt_seq_len
+    # rough fwd+bwd FLOPs: 6 * params * tokens (decoder-dominant estimate)
+    flops = 6 * n_params * tokens
+    print(f"params: {n_params / 1e6:.0f}M  batch: {ns.batch}  "
+          f"tgt_seq_len: {cfg.data.tgt_seq_len}")
+    print(f"step: {dt * 1e3:.1f} ms  steps/s: {1 / dt:.2f}  "
+          f"tokens/s: {tokens / dt:,.0f}")
+    print(f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}%")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

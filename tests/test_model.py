@@ -136,3 +136,29 @@ def test_bf16_forward_finite(setup):
     ids = jnp.ones((1, 8), dtype=jnp.int32)
     logits = forward(params, dims, cfg, audio, ids, dtype=jnp.bfloat16)
     assert np.all(np.isfinite(np.asarray(logits, dtype=np.float32)))
+
+
+def test_causal_attention_pad_mask_droppable_for_right_padding():
+    """The flash training path drops the decoder padding key-mask: with
+    right padding + causal masking, outputs at NON-PAD positions are
+    identical with or without the key mask (pads only attend pads, and pad
+    positions carry -100 labels)."""
+    import jax
+    import jax.numpy as jnp
+    from beatheritage_tpu.ops.attention import dot_product_attention
+
+    b, h, t, d, valid = 2, 2, 16, 8, 11
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, t, d))
+    k = jax.random.normal(ks[1], (b, h, t, d))
+    v = jax.random.normal(ks[2], (b, h, t, d))
+    key_mask = jnp.arange(t) < valid  # right padding
+    masked = dot_product_attention(q, k, v, is_causal=True,
+                                   mask=key_mask[None, None, None, :])
+    unmasked = dot_product_attention(q, k, v, is_causal=True)
+    np.testing.assert_allclose(np.asarray(masked[:, :, :valid]),
+                               np.asarray(unmasked[:, :, :valid]),
+                               atol=1e-6)
+    # and pad positions DO differ (which is why labels there must be -100)
+    assert not np.allclose(np.asarray(masked[:, :, valid:]),
+                           np.asarray(unmasked[:, :, valid:]))
