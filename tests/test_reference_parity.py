@@ -117,3 +117,60 @@ def test_converted_checkpoint_matches_reference_logits(reference_model):
     scale = float(ref_out.logits.abs().max())
     assert logit_err < max(2e-3, scale * 1e-3), \
         f"decoder logits mismatch: {logit_err} (scale {scale})"
+
+
+def test_greedy_token_stream_matches_reference_generate(reference_model):
+    """Bit-comparable token streams (BASELINE.md north star): greedy rollout
+    through our cached decode path produces the same ids as the reference's
+    HF generate on the converted checkpoint."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from beatheritage_tpu.decode.engine import decoder_cached_forward, fuse_qkv
+    from beatheritage_tpu.decode.kv_cache import (init_self_cache,
+                                                  precompute_cross_kv)
+    from beatheritage_tpu.train.convert import convert_reference_state_dict
+
+    import copy
+    model = copy.deepcopy(reference_model)
+    with torch.no_grad():
+        for p in model.parameters():  # amplify: random init is near-uniform
+            p.mul_(2.5)               # and would greedy-decode a constant id
+
+    torch.manual_seed(2)
+    x = torch.randn(1, 64, 128)
+    n_new = 24
+    with torch.no_grad():
+        ref_ids = model.generate(
+            input_features=x, max_new_tokens=n_new, min_new_tokens=n_new,
+            do_sample=False, num_beams=1, use_cache=True,
+            decoder_start_token_id=1, bos_token_id=1, eos_token_id=None,
+            pad_token_id=0)
+        ref_enc = model.model.encoder(input_features=x).last_hidden_state
+
+    dims = _dims()
+    params = jax.tree.map(jnp.asarray, convert_reference_state_dict(
+        model.state_dict(), dims))
+    enc = jnp.asarray(ref_enc.numpy())  # isolate decode-path parity
+
+    max_len = 1 + n_new
+    cache = init_self_cache(dims, 1, max_len, jnp.float32)
+    ck, cv = precompute_cross_kv(params, dims, enc, jnp.float32)
+    qkv = fuse_qkv(params, jnp.float32)
+    kv_valid = jnp.ones((1, max_len), bool)
+
+    ids = [1]
+    for step in range(n_new):
+        logits, cache = decoder_cached_forward(
+            params, dims, jnp.asarray([[ids[-1]]], jnp.int32), cache, ck, cv,
+            jnp.asarray([[step]], jnp.int32), step, kv_valid, max_len,
+            jnp.float32, qkv=qkv)
+        ids.append(int(jnp.argmax(logits[0, -1])))
+
+    ref_list = ref_ids[0].tolist()
+    if ref_list and ref_list[0] != ids[0]:
+        ref_list = [ids[0]] + ref_list  # HF omits the decoder start token
+    n = min(len(ids), len(ref_list))
+    assert n >= 20 and ids[:n] == ref_list[:n], (
+        f"stream diverged: ours {ids[:n]}\n ref {ref_list[:n]}")
+    assert len(set(ids)) > 3, "degenerate stream (constant id) proves nothing"
