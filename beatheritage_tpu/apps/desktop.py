@@ -1,0 +1,49 @@
+"""Desktop shell: the web UI inside a native window via pywebview.
+
+(reference: web-ui.py wraps its Flask app in a pywebview window.) Starts the
+stdlib HTTP UI on a local port and opens a native window pointed at it;
+falls back to printing the browser URL when pywebview isn't installed
+(it is not part of the baked TPU image).
+
+Usage: python -m beatheritage_tpu.apps.desktop [--port 9727]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="beatheritage desktop shell")
+    parser.add_argument("--port", type=int, default=9727)
+    ns = parser.parse_args(argv)
+
+    from http.server import ThreadingHTTPServer
+
+    from .webui import Handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", ns.port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{ns.port}"
+
+    try:
+        import webview  # noqa: PLC0415
+    except ImportError:
+        print(f"pywebview not installed; open {url} in a browser "
+              "(pip install pywebview for the native window)")
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        return 0
+
+    webview.create_window("BeatHeritage TPU", url, width=860, height=900)
+    webview.start()
+    server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
