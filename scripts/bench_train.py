@@ -65,13 +65,24 @@ def main() -> int:
     dt = (time.time() - t0) / ns.steps
 
     tokens = ns.batch * cfg.data.tgt_seq_len
-    # rough fwd+bwd FLOPs: 6 * params * tokens (decoder-dominant estimate)
-    flops = 6 * n_params * tokens
-    print(f"params: {n_params / 1e6:.0f}M  batch: {ns.batch}  "
-          f"tgt_seq_len: {cfg.data.tgt_seq_len}")
+    # fwd+bwd FLOPs ~ 6 * matmul_params * tokens; embedding/gather tables
+    # contribute no matmul FLOPs, and per-layer remat recomputes the forward
+    # once more during the backward (+2 * params * tokens)
+    embed_like = sum(
+        int(np.prod(l.shape)) for path, l in
+        jax.tree_util.tree_leaves_with_path(params)
+        if any(k.key in ("dec_embed", "table") if hasattr(k, "key")
+               else False for k in path))  # gathers, not matmuls
+    matmul_params = n_params - embed_like
+    remat_factor = 8 if cfg.gradient_checkpointing else 6
+    flops = remat_factor * matmul_params * tokens
+    print(f"params: {n_params / 1e6:.0f}M ({matmul_params / 1e6:.0f}M in "
+          f"matmuls)  batch: {ns.batch}  tgt_seq_len: {cfg.data.tgt_seq_len}")
     print(f"step: {dt * 1e3:.1f} ms  steps/s: {1 / dt:.2f}  "
           f"tokens/s: {tokens / dt:,.0f}")
-    print(f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}%")
+    print(f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}% "
+          f"(incl. remat recompute)" if cfg.gradient_checkpointing else
+          f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}%")
     return 0
 
 
