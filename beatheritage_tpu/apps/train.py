@@ -40,19 +40,8 @@ def main(argv=None) -> int:
     if cfg.data.train_dataset_path:
         loader = (load_ors_metadata if cfg.data.dataset_type == "ors"
                   else load_mmrs_metadata)
+        # resizes the MAPPER/DESCRIPTOR vocab ranges in place
         tokenizer.load_dataset_indices(loader(cfg.data.train_dataset_path))
-        # dataset indices change the vocab (mapper/descriptor counts):
-        # rebuild with the populated tokenizer state
-        rebuilt = Tokenizer(cfg)
-        rebuilt.beatmap_idx = tokenizer.beatmap_idx
-        rebuilt.beatmap_mapper = tokenizer.beatmap_mapper
-        rebuilt.mapper_idx = tokenizer.mapper_idx
-        rebuilt.num_mapper_classes = tokenizer.num_mapper_classes
-        rebuilt.beatmap_descriptors = tokenizer.beatmap_descriptors
-        rebuilt.descriptor_idx = tokenizer.descriptor_idx
-        rebuilt.num_descriptor_classes = tokenizer.num_descriptor_classes
-        tokenizer = Tokenizer(cfg)
-        tokenizer.load_state_dict(rebuilt.state_dict())
 
     parser_obj = BeatmapParser(cfg, tokenizer)
     dims = ModelDims.from_config(cfg, tokenizer)
@@ -78,11 +67,17 @@ def main(argv=None) -> int:
             trainer.state = restored
             print(f"resumed from step {int(restored.step)}")
 
-    def make_dataset():
-        return MmrsDataset(cfg.data, parser_obj, tokenizer, shared=shared)
-
     micro = cfg.optim.batch_size // max(cfg.optim.grad_acc, 1)
-    batches = repeating_batch_iterator(make_dataset, micro)
+    if cfg.dataloader.num_workers > 1:
+        from ..data.dataset import multiprocess_batch_iterator
+        batches = multiprocess_batch_iterator(
+            cfg, tokenizer, micro, num_workers=cfg.dataloader.num_workers,
+            seed=cfg.seed, shared=shared)
+    else:
+        def make_dataset():
+            return MmrsDataset(cfg.data, parser_obj, tokenizer, shared=shared)
+
+        batches = repeating_batch_iterator(make_dataset, micro)
     if cfg.optim.grad_acc > 1:
         def accumulate(src):
             import numpy as np  # noqa: PLC0415

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import random
 import threading
 import queue as queue_mod
@@ -704,3 +705,107 @@ def repeating_batch_iterator(make_dataset, batch_size: int, **kwargs):
     """Endless epochs for step-based training."""
     while True:
         yield from batch_iterator(make_dataset(), batch_size, **kwargs)
+
+
+# -- multiprocess loading ----------------------------------------------------------
+
+def _mp_worker(cfg, tokenizer_state, test, seed, worker_id, num_workers,
+               step_value, q) -> None:
+    """Worker process: rebuild tokenizer/parser/dataset and stream examples.
+
+    Each worker owns a disjoint slice of the mapset ids (the reference shards
+    DataLoader workers the same way, model_utils.py:256-269) and loops epochs
+    forever with a fresh shuffle seed.
+    """
+    import os  # noqa: PLC0415
+    os.environ["JAX_PLATFORMS"] = "cpu"  # workers never touch the TPU
+    from ..tokenizer import Tokenizer  # noqa: PLC0415
+    from .parser import BeatmapParser  # noqa: PLC0415
+
+    tokenizer = Tokenizer(cfg)
+    tokenizer.load_state_dict(tokenizer_state)
+    parser = BeatmapParser(cfg, tokenizer)
+
+    class _SharedView:
+        current_loss = np.inf
+
+        @property
+        def current_train_step(self):
+            return step_value.value
+
+    args = cfg.data
+    path = Path(args.test_dataset_path if test else args.train_dataset_path)
+    loader = load_ors_metadata if args.dataset_type == "ors" else load_mmrs_metadata
+    all_ids = loader(path).index.get_level_values(0).unique().to_numpy()
+    start = args.test_dataset_start if test else args.train_dataset_start
+    end = min(args.test_dataset_end if test else args.train_dataset_end, len(all_ids))
+    all_ids = all_ids[start:end]  # subset_ids is applied on top of start/end
+    my_ids = [int(s) for i, s in enumerate(all_ids) if i % num_workers == worker_id]
+
+    epoch = 0
+    while True:
+        ds = MmrsDataset(args, parser, tokenizer, subset_ids=my_ids, test=test,
+                         shared=_SharedView(), seed=seed + worker_id + epoch * 7919)
+        np.random.seed(seed + worker_id + epoch * 7919)
+        for ex in ds:
+            q.put(ex)
+        epoch += 1
+        if test:
+            q.put(None)  # epoch sentinel for finite test iteration
+            return
+
+
+def multiprocess_batch_iterator(cfg, tokenizer, batch_size: int,
+                                num_workers: int = 8, *, test: bool = False,
+                                seed: int = 0,
+                                shared: Optional[SharedTrainState] = None,
+                                queue_depth: int = 4) -> Iterator[dict]:
+    """Endless batches assembled from `num_workers` dataset processes.
+
+    TPU-native equivalent of the reference's DataLoader(num_workers=8): the
+    GIL-bound parse/tokenize work (audio slice, .osu parse, event encoding)
+    fans out over processes while the parent assembles numpy batches. The
+    curriculum step crosses into workers via a shared Value (the reference
+    uses an mp.Manager Namespace, model_utils.py:26)."""
+    import multiprocessing as mp  # noqa: PLC0415
+
+    ctx = mp.get_context("spawn")
+    step_value = ctx.Value("q", 0)
+    q = ctx.Queue(maxsize=max(queue_depth * batch_size, 64))
+    state = tokenizer.state_dict()
+    old_platform = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # inherited by spawned children
+    procs = []
+    try:
+        for w in range(num_workers):
+            p = ctx.Process(target=_mp_worker,
+                            args=(cfg, state, test, seed, w, num_workers,
+                                  step_value, q),
+                            daemon=True)
+            p.start()
+            procs.append(p)
+    finally:
+        if old_platform is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = old_platform
+
+    done_workers = 0
+    batch: list = []
+    try:
+        while True:
+            if shared is not None:
+                step_value.value = shared.current_train_step
+            item = q.get()
+            if item is None:  # test-mode epoch sentinel
+                done_workers += 1
+                if done_workers == num_workers:
+                    break
+                continue
+            batch.append(item)
+            if len(batch) == batch_size:
+                yield {k: np.stack([b[k] for b in batch]) for k in batch[0]}
+                batch = []
+    finally:
+        for p in procs:
+            p.terminate()

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 import traceback
@@ -28,10 +29,44 @@ IDLE_SHUTDOWN_SECONDS = 20.0
 BATCH_WAIT_SECONDS = 0.05
 
 
+def _runtime_dir() -> Path:
+    """Per-user 0700 runtime dir for sockets + the IPC secret: XDG_RUNTIME_DIR
+    when set, else a per-uid dir under the temp root (never a shared /tmp path)."""
+    base = os.environ.get("XDG_RUNTIME_DIR")
+    if base:
+        d = Path(base) / "beatheritage"
+    else:
+        d = Path(tempfile.gettempdir()) / f"beatheritage-{os.getuid()}"
+    d.mkdir(mode=0o700, parents=True, exist_ok=True)
+    try:
+        os.chmod(d, 0o700)
+    except OSError:
+        pass
+    return d
+
+
+def ipc_authkey() -> bytes:
+    """HMAC authkey for multiprocessing.connection, persisted per-user so the
+    lazily-spawned server process and later CLI invocations agree. The wire
+    format is pickle, so without this any local user who can reach the socket
+    could execute code in the server (reference server.py has no authkey)."""
+    secret = _runtime_dir() / "ipc_secret"
+    try:
+        return secret.read_bytes()
+    except OSError:
+        key = os.urandom(32)
+        fd = os.open(secret, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        try:
+            os.write(fd, key)
+        finally:
+            os.close(fd)
+        return key
+
+
 def socket_address(model_key: str) -> str:
     if os.name == "nt":
         return rf"\\.\pipe\beatheritage_{model_key}"
-    return f"/tmp/beatheritage_{model_key}.sock"
+    return str(_runtime_dir() / f"{model_key}.sock")
 
 
 class InferenceServer:
@@ -181,7 +216,9 @@ class InferenceServer:
 
     def serve(self) -> None:
         self._unlink()
-        listener = Listener(self.address, family="AF_UNIX" if os.name != "nt" else "AF_PIPE")
+        listener = Listener(self.address,
+                            family="AF_UNIX" if os.name != "nt" else "AF_PIPE",
+                            authkey=ipc_authkey())
         threading.Thread(target=self._batch_thread, daemon=True).start()
         threading.Thread(target=self._idle_monitor, daemon=True).start()
 
@@ -243,7 +280,8 @@ class InferenceClient:
         while time.time() < deadline:
             try:
                 self._conn = Client(self.address,
-                                    family="AF_UNIX" if os.name != "nt" else "AF_PIPE")
+                                    family="AF_UNIX" if os.name != "nt" else "AF_PIPE",
+                                    authkey=ipc_authkey())
                 self._conn.send("ping")
                 if self._conn.recv() == "pong":
                     return

@@ -410,12 +410,15 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    w_label = class_weights[safe_labels]  # torch weights by target class
+    w_label = class_weights[safe_labels]  # torch weights the NLL by target class
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss_tok = w_label * nll
     if label_smoothing > 0.0:
-        smooth = -logp.mean(axis=-1)
-        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
-    loss_tok = nll * w_label * valid
+        # torch smooths with the *per-class* weights: (eps/V) * sum_c(-w_c logp_c)
+        # (aten cross_entropy_loss_label_smoothing), not the target's weight.
+        smooth = -(logp * class_weights).mean(axis=-1)
+        loss_tok = (1.0 - label_smoothing) * loss_tok + label_smoothing * smooth
+    loss_tok = loss_tok * valid
     if sample_weights is not None:
         loss_tok = loss_tok * sample_weights[:, None]
     # reference divides the weighted sum by the raw count of valid labels

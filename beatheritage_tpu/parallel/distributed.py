@@ -54,14 +54,21 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    on_pod = any(k in os.environ for k in
-                 ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+    # only a *multi-host* pod needs the coordination service; a single-entry
+    # TPU_WORKER_HOSTNAMES (e.g. a lone chip behind a tunnel) does not
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod = (len([h for h in hostnames.split(",") if h]) > 1
+              or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
     want_init = coordinator_address is not None or on_pod
     if want_init and not _INITIALIZED:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-        _INITIALIZED = True
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            _INITIALIZED = True
+        except ValueError as e:
+            # pod metadata present but incomplete: run single-process
+            print(f"[distributed] skipping multi-host init: {e}")
 
     topo = HostTopology(process_index=jax.process_index(),
                         process_count=jax.process_count(),

@@ -30,16 +30,8 @@ MILISECONDS_PER_STEP = 10
 class Tokenizer:
     def __init__(self, args=None):
         # `args` is a TrainConfig (beatheritage_tpu.config.TrainConfig)
-        self.offset = 3
+        self._args = args
         self.beatmap_idx: dict[int, int] = {}
-        self.context_sos: dict[ContextType, int] = {}
-        self.context_eos: dict[ContextType, int] = {}
-        self.event_ranges: list[EventRange] = [
-            EventRange(EventType.TIME_SHIFT, -512, 512),
-            EventRange(EventType.SNAPPING, 0, 16),
-            EventRange(EventType.DISTANCE, 0, 640),
-        ]
-        self.input_event_ranges: list[EventRange] = []
         self.num_classes = 0
         self.num_diff_classes = 0
         self.max_difficulty = 0
@@ -50,6 +42,24 @@ class Tokenizer:
         self.descriptor_idx: dict[str, int] = {}
         self.num_descriptor_classes = 0
         self.num_cs_classes = 0
+        self._rebuild_vocab()
+
+    def _rebuild_vocab(self) -> None:
+        """(Re)derive the full id layout from config + dataset-derived class
+        counts. Called at construction and again by load_dataset_indices —
+        ranges sized by dataset statistics (MAPPER, DESCRIPTOR) are zero
+        until the metadata is loaded (reference sizes these the same way at
+        train time and then pins them via tokenizer.json)."""
+        args = self._args
+        self.offset = 3
+        self.context_sos: dict[ContextType, int] = {}
+        self.context_eos: dict[ContextType, int] = {}
+        self.event_ranges: list[EventRange] = [
+            EventRange(EventType.TIME_SHIFT, -512, 512),
+            EventRange(EventType.SNAPPING, 0, 16),
+            EventRange(EventType.DISTANCE, 0, 640),
+        ]
+        self.input_event_ranges: list[EventRange] = []
 
         if args is not None:
             self._build_from_config(args)
@@ -384,6 +394,8 @@ class Tokenizer:
                        else [self.descriptor_idx[y] for y in x])
                 .dropna().to_dict())
             self.num_descriptor_classes = len(self.descriptor_idx)
+        # MAPPER/DESCRIPTOR ranges are sized by the counts above: rebuild ids
+        self._rebuild_vocab()
 
     # -- persistence (reference tokenizer.json schema) ------------------------
 

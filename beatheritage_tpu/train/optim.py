@@ -111,7 +111,10 @@ def muon_transform(momentum=0.95, nesterov=True,
 
         def upd(g):
             o = _orthogonalize_any(g, ns_steps)
-            scale = max(1.0, g.shape[-2] / g.shape[-1]) ** 0.5
+            # Reference (muon_utils.py:173) scales by max(1, rows/cols)**0.5 on
+            # torch (fan_out, fan_in) weights, i.e. max(1, fan_out/fan_in). Our
+            # weights are stored (fan_in, fan_out), so that is shape[-1]/shape[-2].
+            scale = max(1.0, g.shape[-1] / g.shape[-2]) ** 0.5
             return -scale * o
 
         return jax.tree.map(upd, eff), MuonState(momentum=buf)

@@ -65,24 +65,46 @@ def main() -> int:
     dt = (time.time() - t0) / ns.steps
 
     tokens = ns.batch * cfg.data.tgt_seq_len
-    # fwd+bwd FLOPs ~ 6 * matmul_params * tokens; embedding/gather tables
-    # contribute no matmul FLOPs, and per-layer remat recomputes the forward
-    # once more during the backward (+2 * params * tokens)
-    embed_like = sum(
-        int(np.prod(l.shape)) for path, l in
-        jax.tree_util.tree_leaves_with_path(params)
-        if any(k.key in ("dec_embed", "table") if hasattr(k, "key")
-               else False for k in path))  # gathers, not matmuls
-    matmul_params = n_params - embed_like
-    remat_factor = 8 if cfg.gradient_checkpointing else 6
-    flops = remat_factor * matmul_params * tokens
-    print(f"params: {n_params / 1e6:.0f}M ({matmul_params / 1e6:.0f}M in "
-          f"matmuls)  batch: {ns.batch}  tgt_seq_len: {cfg.data.tgt_seq_len}")
+    # FLOPs model: matmul params x the positions they actually process
+    # (encoder layers see post-conv mel frames, decoder layers see tgt tokens),
+    # plus the attention score/value matmuls (4*T^2*d fwd per self-attn layer,
+    # 4*S*T*d for cross-attn). Embedding/gather tables contribute no matmuls.
+    # fwd = 2*P*N; bwd = 2x fwd; per-layer remat recomputes fwd once more.
+    def tree_size(subtree) -> int:
+        return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(subtree))
+
+    p = params
+    enc_positions = ns.batch * dims.max_source_positions   # post-conv frames
+    enc_matmul = tree_size(p.get("encoder", {}))
+    if "enc_proj" in p:
+        enc_matmul += tree_size(p["enc_proj"])
+    if "cond" in p:  # conditioning embedders: MLPs are matmuls, tables are gathers
+        enc_matmul += sum(
+            int(np.prod(l.shape)) for path, l in
+            jax.tree_util.tree_leaves_with_path(p["cond"])
+            if not any(getattr(k, "key", None) in ("table", "centers", "widths")
+                       for k in path))
+    dec_matmul = tree_size(p.get("decoder", {})) + tree_size(p.get("lm_head"))
+    embed_like = n_params  # report only: everything not counted above
+    embed_like -= enc_matmul + dec_matmul
+
+    fwd = 2 * (enc_matmul * enc_positions + dec_matmul * tokens)
+    S, T, d = dims.max_source_positions, cfg.data.tgt_seq_len, dims.d_model
+    attn_fwd = ns.batch * (
+        dims.encoder_layers * 4 * S * S * d          # encoder self-attn
+        + dims.decoder_layers * 4 * T * T * d        # decoder self-attn (causal)
+        + dims.decoder_layers * 4 * S * T * d)       # cross-attn
+    fwd += attn_fwd
+    recompute = 4 if cfg.gradient_checkpointing else 3  # fwd + 2x-fwd bwd (+ remat)
+    flops = recompute * fwd
+    print(f"params: {n_params / 1e6:.0f}M (enc {enc_matmul / 1e6:.0f}M + dec "
+          f"{dec_matmul / 1e6:.0f}M matmul, {embed_like / 1e6:.0f}M tables)  "
+          f"batch: {ns.batch}  src: {S}  tgt: {T}")
     print(f"step: {dt * 1e3:.1f} ms  steps/s: {1 / dt:.2f}  "
           f"tokens/s: {tokens / dt:,.0f}")
-    print(f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}% "
-          f"(incl. remat recompute)" if cfg.gradient_checkpointing else
-          f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}%")
+    suffix = " (incl. remat recompute)" if cfg.gradient_checkpointing else ""
+    print(f"~MFU vs 197 TFLOP/s bf16 peak: {flops / dt / 197e12 * 100:.1f}%"
+          f"{suffix}  [attn share of fwd: {attn_fwd / fwd * 100:.0f}%]")
     return 0
 
 

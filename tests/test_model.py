@@ -162,3 +162,34 @@ def test_causal_attention_pad_mask_droppable_for_right_padding():
     # and pad positions DO differ (which is why labels there must be -100)
     assert not np.allclose(np.asarray(masked[:, :, valid:]),
                            np.asarray(unmasked[:, :, valid:]))
+
+def test_weighted_ce_matches_torch_with_smoothing():
+    """weighted_cross_entropy must match the reference's exact loss:
+    nn.CrossEntropyLoss(weight, reduction='none', ignore_index=-100,
+    label_smoothing) summed / valid-count (modeling_mapperatorinator.py:110-117,
+    188-192), including the torch per-class-weighted smoothing term."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    B, T, V = 2, 6, 11
+    logits_np = rng.standard_normal((B, T, V)).astype(np.float32)
+    labels_np = rng.integers(0, V, (B, T)).astype(np.int64)
+    labels_np[0, -1] = LABEL_IGNORE_ID
+    labels_np[1, 0] = LABEL_IGNORE_ID
+    cw_np = np.ones(V, np.float32)
+    cw_np[3:7] = 1.2  # rhythm_weight-style band
+    eps = 0.1
+
+    loss_fn = torch.nn.CrossEntropyLoss(
+        weight=torch.from_numpy(cw_np), reduction="none",
+        ignore_index=LABEL_IGNORE_ID, label_smoothing=eps)
+    unreduced = loss_fn(torch.from_numpy(logits_np).swapaxes(1, -1),
+                        torch.from_numpy(labels_np))
+    valid = labels_np != LABEL_IGNORE_ID
+    ref = float(unreduced.sum() / valid.sum())
+
+    ours, n = weighted_cross_entropy(
+        jnp.asarray(logits_np), jnp.asarray(labels_np.astype(np.int32)),
+        jnp.asarray(cw_np), label_smoothing=eps)
+    assert int(n) == int(valid.sum())
+    assert float(ours) == pytest.approx(ref, rel=1e-5)

@@ -186,3 +186,47 @@ def test_tensor_parallel_matches_replicated(setup):
     _, m1 = step1(init_train_state(params, optimizer), batch)
 
     assert float(m_tp["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+
+@pytest.mark.parametrize("shape_out_in", [(16, 64), (64, 16), (32, 32)])
+def test_muon_update_matches_reference_torch_step(shape_out_in):
+    """Our muon_transform must reproduce the reference torch Muon step
+    (reference muon_utils.py:137-173) on rectangular matrices, including the
+    max(1, fan_out/fan_in)**0.5 aspect-ratio scale. Reference weights are
+    (out, in); ours are (in, out), so grads/updates transpose across."""
+    import torch
+
+    from beatheritage_tpu.train.optim import muon_transform
+
+    out_dim, in_dim = shape_out_in
+    rng = np.random.default_rng(0)
+    g_np = rng.standard_normal((out_dim, in_dim)).astype(np.float32)
+    momentum, ns_steps = 0.95, 6
+
+    # -- reference step (first step: momentum buffer starts at zero) --
+    g_t = torch.from_numpy(g_np)
+    buf = torch.zeros_like(g_t).mul_(momentum).add_(g_t)
+    eff = g_t.add(buf, alpha=momentum)  # nesterov
+    a, b, c = (3.4445, -4.7750, 2.0315)
+    x = eff.bfloat16()
+    x = x / (x.norm() + 1e-7)
+    t = x.size(0) > x.size(1)
+    if t:
+        x = x.T
+    for _ in range(ns_steps):
+        A = x @ x.T
+        x = a * x + (b * A + c * A @ A) @ x
+    if t:
+        x = x.T
+    ref_update = -(x.float() * max(1, eff.size(0) / eff.size(1)) ** 0.5).numpy()
+
+    # -- our step on the transposed (in, out) layout --
+    params = {"w": jnp.asarray(g_np.T) * 0.0}
+    opt = muon_transform(momentum=momentum, nesterov=True, ns_steps=ns_steps)
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.asarray(g_np.T)}, state, params)
+    ours = np.asarray(updates["w"], dtype=np.float32).T
+
+    # bf16 NS iterations accumulate rounding differences between torch and XLA
+    np.testing.assert_allclose(ours, ref_update, atol=0.08, rtol=0.05)
+    # the aspect-ratio scale itself must match exactly in magnitude
+    assert np.linalg.norm(ours) == pytest.approx(np.linalg.norm(ref_update), rel=0.05)
