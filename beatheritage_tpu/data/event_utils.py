@@ -6,7 +6,7 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 from ..events import (
     Event,
@@ -149,62 +149,80 @@ class Group:
     scroll_speed: Optional[float] = None
 
 
+# scalar Group fields settable straight from one event (value converter per
+# field); list-like fields (hitsounds, volumes) are handled separately below
+_SCALAR_FIELDS: dict[EventType, tuple[str, Callable[[int], object]]] = {
+    EventType.TIME_SHIFT: ("time", int),
+    EventType.DISTANCE: ("distance", int),
+    EventType.POS_X: ("x", float),
+    EventType.POS_Y: ("y", float),
+    EventType.SCROLL_SPEED: ("scroll_speed", lambda v: v / 100),
+}
+
+
+def _unpack_hitsound(group: Group, packed: int) -> None:
+    """HITSOUND packs hits + 8*(sampleset-1) + 24*(addition-1)
+    (see parser._hitsound_value); split back into the three components."""
+    group.hitsounds.append((packed % 8) * 2)
+    group.samplesets.append((packed // 8) % 3 + 1)
+    group.additions.append((packed // 24) % 3 + 1)
+
+
 def get_groups(events: list[Event], *, event_times: Optional[list[int]] = None,
                types_first: bool = False) -> tuple[list[Group], list[list[int]]]:
     """Reassemble a flat event list into per-object Groups.
 
-    The HITSOUND value packs hits + 8*(sampleset-1) + 24*(addition-1)
-    (see parser._hitsound_value); unpacked here.
+    Behavior-pinned to the reference's group assembly
+    (reference: osuT5/osuT5/dataset/data_utils.py:363 get_groups) so decoded
+    token streams produce identical objects; the dispatch here is
+    table-driven rather than an if/elif chain.
+
+    A group = one hit object / timing marker plus its attribute events. With
+    ``types_first`` the type token *opens* a group (token order
+    [type, attrs...]); otherwise it *closes* one ([attrs..., type]).
     """
     groups: list[Group] = []
-    group = Group()
     group_indices: list[list[int]] = []
+    group = Group()
     indices: list[int] = []
+
+    def close(keep_last_for_next: bool) -> None:
+        nonlocal group, indices
+        groups.append(group)
+        group = Group()
+        if keep_last_for_next:
+            group_indices.append(indices[:-1])
+            indices = indices[-1:]
+        else:
+            group_indices.append(indices)
+            indices = []
+
     for i, event in enumerate(events):
         indices.append(i)
-        if event.type == EventType.TIME_SHIFT:
-            group.time = event.value
-        elif event.type == EventType.DISTANCE:
-            group.distance = event.value
-        elif event.type == EventType.POS_X:
-            group.x = event.value
-        elif event.type == EventType.POS_Y:
-            group.y = event.value
+        scalar = _SCALAR_FIELDS.get(event.type)
+        if scalar is not None:
+            field, conv = scalar
+            setattr(group, field, conv(event.value))
         elif event.type == EventType.NEW_COMBO:
             group.new_combo = True
         elif event.type == EventType.HITSOUND:
-            group.hitsounds.append((event.value % 8) * 2)
-            group.samplesets.append(((event.value // 8) % 3) + 1)
-            group.additions.append(((event.value // 24) % 3) + 1)
+            _unpack_hitsound(group, event.value)
         elif event.type == EventType.VOLUME:
             group.volumes.append(event.value)
-        elif event.type == EventType.SCROLL_SPEED:
-            group.scroll_speed = event.value / 100
         elif event.type in TYPE_EVENTS:
-            if types_first:
-                if group.event_type is not None:
-                    groups.append(group)
-                    group = Group()
-                    group_indices.append(indices[:-1])
-                    indices = [indices[-1]]
-                group.event_type = event.type
-                group.value = event.value
-                if event_times is not None:
-                    group.time = event_times[i]
-            else:
-                group.event_type = event.type
-                group.value = event.value
-                if event_times is not None:
-                    group.time = event_times[i]
-                groups.append(group)
-                group = Group()
-                group_indices.append(indices)
-                indices = []
+            if types_first and group.event_type is not None:
+                close(keep_last_for_next=True)  # this token starts the next group
+            group.event_type = event.type
+            group.value = event.value
+            if event_times is not None:
+                group.time = event_times[i]
+            if not types_first:
+                close(keep_last_for_next=False)
 
     if group.event_type is not None:
-        groups.append(group)
-        group_indices.append(indices)
+        close(keep_last_for_next=False)
     elif indices and group_indices:
+        # trailing attribute events belong to the last closed group
         group_indices[-1].extend(indices)
 
     return groups, group_indices

@@ -165,22 +165,21 @@ class SuperTimingGenerator:
 
     @staticmethod
     def _fill_missing_bpms(peak_bpms, median_bpm):
-        for i, bpm in enumerate(peak_bpms):
-            if not np.isnan(bpm):
-                continue
-            left = i - 1
-            while left >= 0 and np.isnan(peak_bpms[left]):
-                left -= 1
-            right = i + 1
-            while right < len(peak_bpms) and np.isnan(peak_bpms[right]):
-                right += 1
-            if left >= 0 and (right >= len(peak_bpms) or i - left <= right - i):
-                peak_bpms[i] = peak_bpms[left]
-            elif right < len(peak_bpms):
-                peak_bpms[i] = peak_bpms[right]
-            else:
-                peak_bpms[i] = median_bpm
-        return peak_bpms
+        """Fill undefined per-peak BPMs from their neighbours, vectorized.
+
+        Behavior-pinned to the reference's in-place nearest fill
+        (super_timing_generator.py:147-160), which — because it mutates as
+        it scans — degenerates to a forward fill with leading gaps taking
+        the first defined value; all-undefined falls back to the median.
+        """
+        peak_bpms = np.asarray(peak_bpms, dtype=float)
+        n = len(peak_bpms)
+        defined = np.flatnonzero(~np.isnan(peak_bpms))
+        if defined.size == 0:
+            return np.full(n, median_bpm)
+        src = defined[np.maximum(
+            np.searchsorted(defined, np.arange(n), side="right") - 1, 0)]
+        return peak_bpms[src]
 
     # -- beat walking -----------------------------------------------------------------
 
@@ -253,47 +252,63 @@ class SuperTimingGenerator:
     @staticmethod
     def _repair_meter(beat_times, beat_types, measures_hist,
                       timing_points_hist, measure_counts) -> None:
+        """Re-label BEAT/MEASURE so measures repeat every voted timing
+        signature, anchored where measure/timing-point histogram evidence is
+        strongest.
+
+        Behavior-pinned to the reference's meter repair
+        (super_timing_generator.py:264-307) — including its quirk of testing
+        the *absolute* beat indices ±1..|j|-1 for intervening timing points
+        — but with the per-beat histogram evidence precomputed and the
+        cooldown state machine expressed as a skip window.
+        """
         if not measure_counts:
             return
-        timing_signature = int(np.median([sig for _, sig in measure_counts]))
-        if timing_signature <= 0:
+        signature = int(np.median([sig for _, sig in measure_counts]))
+        if signature <= 0:
             return
         w = 10
+        n = len(beat_times)
+        # static per-beat evidence (histograms never change during repair)
+        evidence = np.array([measures_hist[t - w:t + w].sum()
+                             + timing_points_hist[t - w:t + w].sum()
+                             for t in beat_times], dtype=float)
+
+        def tp_near_list_ends(j: int) -> bool:
+            # reference quirk: looks at types[1:|j|] (j>0) / types[-1:-|j|:-1]
+            # (j<0) — absolute positions, evaluated live as labels change
+            idxs = np.arange(1, abs(j)) * np.sign(j)
+            return any(beat_types[x] == EventType.TIMING_POINT for x in idxs)
+
+        def offset_score(i: int, k: int) -> float:
+            idxs = i + np.arange(-3, 4) * signature + k
+            keep = [(ix, j) for ix, j in zip(idxs, range(-3, 4))
+                    if 0 <= ix < n and not tp_near_list_ends(j)]
+            if not keep:
+                return 0.0
+            return float(evidence[[ix for ix, _ in keep]].mean())
+
         cooldown = 0
         for i, beat_type in enumerate(list(beat_types)):
-            if cooldown > 0:
+            if cooldown > 0:  # inside a measure: leave the next beats alone
                 cooldown -= 1
                 continue
-            if cooldown < 0:
+            if cooldown < 0:  # waiting for a better-aligned measure slot
                 cooldown += 1
                 if cooldown == 0 and beat_type != EventType.TIMING_POINT:
                     beat_types[i] = EventType.MEASURE
-                    cooldown = timing_signature - 1
+                    cooldown = signature - 1
                 continue
             if beat_type == EventType.TIMING_POINT:
                 continue
-            offset_scores = []
-            for k in range(timing_signature):
-                score = 0.0
-                count = 0
-                for j in range(-3, 4):
-                    index = i + j * timing_signature + k
-                    if index < 0 or index >= len(beat_times):
-                        continue
-                    if any(beat_types[x] == EventType.TIMING_POINT
-                           for x in np.arange(1, abs(j)) * np.sign(j)):
-                        continue
-                    other = beat_times[index]
-                    score += (measures_hist[other - w:other + w].sum()
-                              + timing_points_hist[other - w:other + w].sum())
-                    count += 1
-                offset_scores.append(0 if count == 0 else score / count)
-            if np.argmax(offset_scores) == 0:
+            scores = [offset_score(i, k) for k in range(signature)]
+            best = int(np.argmax(scores))
+            if best == 0:
                 beat_types[i] = EventType.MEASURE
-                cooldown = timing_signature - 1
+                cooldown = signature - 1
             else:
                 beat_types[i] = EventType.BEAT
-                cooldown = -int(np.argmax(offset_scores))
+                cooldown = -best
 
     def _to_events(self, beat_times, beat_types):
         events, event_times = [], []

@@ -52,9 +52,12 @@ def position_bias_table(tq: int, tk: int, bidirectional: bool) -> np.ndarray:
     return relative_position_bucket(mem - ctx, bidirectional=bidirectional)
 
 
-def _dense(key, d_in, d_out, std=None):
+def _dense(key, d_in, d_out, std=None, bias=False):
     std = std if std is not None else d_in ** -0.5
-    return {"w": jax.random.normal(key, (d_in, d_out)) * std}
+    p = {"w": jax.random.normal(key, (d_in, d_out)) * std}
+    if bias:
+        p["b"] = jnp.zeros(d_out)
+    return p
 
 
 def _init_t5_attn(key, dims: ModelDims, prefix=""):
@@ -91,7 +94,9 @@ def init_t5_params(key, dims: ModelDims) -> dict:
     enc_keys = jax.random.split(keys[0], dims.encoder_layers)
     dec_keys = jax.random.split(keys[1], dims.decoder_layers)
     return {
-        "enc_proj": _dense(keys[2], dims.encoder_input_dim, dims.d_model, 0.02),
+        # reference encoder_embedder is a biased nn.Linear (t5.py:481)
+        "enc_proj": _dense(keys[2], dims.encoder_input_dim, dims.d_model, 0.02,
+                           bias=True),
         "encoder": {
             "layers": jax.vmap(lambda k: _init_t5_layer(k, dims))(enc_keys),
             "lnf": {"g": jnp.ones(dims.d_model)},
@@ -138,6 +143,8 @@ def t5_encode(params, dims: ModelDims, cfg, audio, *, dtype=jnp.bfloat16):
     from ..ops.mel import mel_from_config  # noqa: PLC0415
     mel = mel_from_config(audio, cfg.model.spectrogram, dtype=dtype)
     x = mel @ params["enc_proj"]["w"].astype(dtype)
+    if "b" in params["enc_proj"]:
+        x = x + params["enc_proj"]["b"].astype(dtype)
     t = x.shape[1]
     buckets = position_bias_table(t, t, bidirectional=True)
     bias = params["encoder"]["rel_bias"].astype(jnp.float32)[buckets]  # (t,t,H)

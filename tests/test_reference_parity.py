@@ -174,3 +174,197 @@ def test_greedy_token_stream_matches_reference_generate(reference_model):
     assert n >= 20 and ids[:n] == ref_list[:n], (
         f"stream diverged: ours {ids[:n]}\n ref {ref_list[:n]}")
     assert len(set(ids)) > 3, "degenerate stream (constant id) proves nothing"
+
+
+# -- vanilla Whisper backbone (v19-v29 era, openai/whisper-*) ----------------------
+
+def _whisper_dims(max_src=32, max_tgt=64):
+    from beatheritage_tpu.models.transformer import ModelDims
+    return ModelDims(
+        d_model=64, num_heads=4, d_ff=128, encoder_layers=2,
+        decoder_layers=2, n_mels=64, cond_size=0, cond_dim=0,
+        vocab_size_in=100, vocab_size_out=100, num_classes=0, num_mappers=0,
+        rope_theta=10000.0, max_source_positions=max_src,
+        max_target_positions=max_tgt, rope_type="static",
+        rope_encoder_scaling=1.0, rope_decoder_scaling=1.0,
+        project_encoder_input=False, do_style_embed=False,
+        do_difficulty_embed=False, do_mapper_embed=False,
+        do_song_position_embed=False, rhythm_token_start=0,
+        rhythm_token_end=0, rhythm_weight=1.0, label_smoothing=0.0)
+
+
+def test_converted_vanilla_whisper_matches_hf_logits():
+    """The v19-v29 models wrap an unmodified openai/whisper backbone
+    (reference get_backbone_model, modeling_mapperatorinator.py:32-35)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    from beatheritage_tpu.models.whisper import (whisper_decode_train,
+                                                 whisper_encode_embeds)
+    from beatheritage_tpu.train.convert import convert_checkpoint
+
+    torch.manual_seed(3)
+    cfg = WhisperConfig(
+        vocab_size=100, num_mel_bins=64, d_model=64, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=32, max_target_positions=64,
+        attn_implementation="eager", use_cache=False, pad_token_id=0,
+        tie_word_embeddings=False)
+    model = WhisperForConditionalGeneration(cfg).eval()
+
+    x = torch.randn(1, 64, 64)  # (B, mel, frames); frames = 2*max_src_pos
+    ids = torch.randint(3, 100, (1, 10))
+    with torch.no_grad():
+        ref_enc = model.model.encoder(input_features=x).last_hidden_state
+        ref_out = model(input_features=x, decoder_input_ids=ids)
+
+    dims = _whisper_dims()
+    params, backbone = convert_checkpoint(model.state_dict(), dims)
+    assert backbone == "whisper"
+    params = jax.tree.map(jnp.asarray, params)
+
+    mel = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    enc_mine = whisper_encode_embeds(params, dims, mel, dtype=jnp.float32)
+    enc_err = np.abs(np.asarray(enc_mine) - ref_enc.numpy()).max()
+    assert enc_err < 2e-4, f"encoder mismatch: {enc_err}"
+
+    logits_mine = whisper_decode_train(params, dims, jnp.asarray(ids.numpy()),
+                                       enc_mine, dtype=jnp.float32)
+    logit_err = np.abs(np.asarray(logits_mine) - ref_out.logits.numpy()).max()
+    assert logit_err < 2e-3, f"decoder logits mismatch: {logit_err}"
+
+
+# -- NWhisper backbone (v27, OliBomby/nwhisper-*) ----------------------------------
+
+@pytest.mark.parametrize("manual_norm", [True, False])
+def test_converted_nwhisper_matches_reference_logits(manual_norm):
+    """Faithful hypersphere forward: residual slerp, positional lerp, qk-norm
+    with per-channel scales, logit scale (modeling_nwhisper.py). Covers both
+    state-dict layouts: manual_norm_weights=true (production
+    configs/model/nwhisper_base.yaml) and the parametrized default."""
+    import torch
+    sys.path.insert(0, str(REFERENCE))
+    import jax
+    import jax.numpy as jnp
+    from osuT5.osuT5.model.custom_transformers.configuration_nwhisper import (
+        NWhisperConfig)
+    from osuT5.osuT5.model.custom_transformers.modeling_nwhisper import (
+        NWhisperForConditionalGeneration)
+    from beatheritage_tpu.models.ngpt import ngpt_decode_train, ngpt_encode_embeds
+    from beatheritage_tpu.train.convert import convert_checkpoint
+
+    torch.manual_seed(4)
+    cfg = NWhisperConfig(
+        vocab_size=100, num_mel_bins=64, d_model=64, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=32, max_target_positions=64,
+        attn_implementation="eager", use_cache=False, pad_token_id=0,
+        manual_norm_weights=manual_norm, activation_function="gelu",
+        tie_word_embeddings=False)  # nwhisper_base.yaml overwrite
+    model = NWhisperForConditionalGeneration(cfg).eval()
+    # manual mode keeps raw weights until the step hook runs; trained
+    # checkpoints are always normalized (reference osuT5/train.py:76-79)
+    model.norm_weights_()
+
+    x = torch.randn(1, 64, 64)
+    ids = torch.randint(3, 100, (1, 10))
+    with torch.no_grad():
+        ref_enc = model.model.encoder(input_features=x).last_hidden_state
+        ref_out = model(input_features=x, decoder_input_ids=ids)
+
+    dims = _whisper_dims()
+    params, backbone = convert_checkpoint(model.state_dict(), dims)
+    assert backbone == "nwhisper"
+    params = jax.tree.map(jnp.asarray, params)
+
+    mel = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    enc_mine = ngpt_encode_embeds(params, dims, mel, dtype=jnp.float32)
+    enc_err = np.abs(np.asarray(enc_mine) - ref_enc.numpy()).max()
+    assert enc_err < 2e-4, f"encoder mismatch: {enc_err}"
+
+    logits_mine = ngpt_decode_train(params, dims, jnp.asarray(ids.numpy()),
+                                    enc_mine, dtype=jnp.float32)
+    logit_err = np.abs(np.asarray(logits_mine) - ref_out.logits.numpy()).max()
+    assert logit_err < 2e-3, f"decoder logits mismatch: {logit_err}"
+
+
+# -- nanoT5 backbone (legacy google/t5-* configs) ----------------------------------
+
+def test_converted_t5_matches_reference_logits():
+    """Reference custom_transformers/t5.py:472 T5: Linear mel embedder,
+    shared block-0 relative bias, gated-GELU FF, untied head."""
+    import torch
+    sys.path.insert(0, str(REFERENCE))
+    from transformers import T5Config
+    import jax
+    import jax.numpy as jnp
+    from osuT5.osuT5.model.custom_transformers.t5 import T5
+    from beatheritage_tpu.models.t5 import t5_decode_train
+    from beatheritage_tpu.train.convert import convert_checkpoint
+
+    torch.manual_seed(5)
+    cfg = T5Config(
+        vocab_size=100, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_decoder_layers=2, num_heads=4, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        use_cache=False, pad_token_id=0, decoder_start_token_id=1)
+    cfg.n_mels = 64
+    model = T5(cfg).eval()
+
+    frames = torch.randn(1, 24, 64)
+    ids = torch.randint(3, 100, (1, 10))
+    with torch.no_grad():
+        ref_out = model(frames=frames, decoder_input_ids=ids)
+        ref_enc = ref_out.encoder_outputs.hidden_states
+
+    dims = _whisper_dims()
+    params, backbone = convert_checkpoint(model.state_dict(), dims)
+    assert backbone == "t5"
+    params = jax.tree.map(jnp.asarray, params)
+
+    # our t5_encode runs mel internally; drive the stack on the same frames
+    from beatheritage_tpu.models.t5 import position_bias_table
+    from beatheritage_tpu.models.transformer import rms_norm
+    from beatheritage_tpu.models.t5 import _t5_attention, _t5_ff
+
+    x = jnp.asarray(frames.numpy()) @ params["enc_proj"]["w"]
+    if "b" in params["enc_proj"]:
+        x = x + params["enc_proj"]["b"]
+    t = x.shape[1]
+    buckets = position_bias_table(t, t, bidirectional=True)
+    bias = params["encoder"]["rel_bias"].astype(jnp.float32)[buckets]
+    bias = bias.transpose(2, 0, 1)[None]
+
+    def enc_layer(h, layer):
+        h = h + _t5_attention(layer, rms_norm(h, layer["ln1"]["g"]), bias,
+                              dims, is_causal=False)
+        h = h + _t5_ff(layer, rms_norm(h, layer["ln2"]["g"]))
+        return h, None
+
+    x, _ = jax.lax.scan(enc_layer, x, params["encoder"]["layers"])
+    enc_mine = rms_norm(x, params["encoder"]["lnf"]["g"])
+    enc_err = np.abs(np.asarray(enc_mine) - ref_enc.numpy()).max()
+    assert enc_err < 2e-4, f"encoder mismatch: {enc_err}"
+
+    logits_mine = t5_decode_train(params, dims, jnp.asarray(ids.numpy()),
+                                  enc_mine, dtype=jnp.float32)
+    logit_err = np.abs(np.asarray(logits_mine) - ref_out.logits.numpy()).max()
+    assert logit_err < 2e-3, f"decoder logits mismatch: {logit_err}"
+
+
+# -- shape validation ---------------------------------------------------------------
+
+def test_converter_shape_validation_names_bad_tensor(reference_model):
+    """A mis-sized checkpoint fails with an error naming the tensor, not a
+    raw dot_general shape error (VERDICT round-1 weak item 6)."""
+    import jax  # noqa: F401
+    from beatheritage_tpu.train.convert import convert_checkpoint
+
+    dims = _dims()
+    bad_dims = dims.__class__(**{**dims.__dict__, "vocab_size_out": 123})
+    with pytest.raises(ValueError, match="lm_head"):
+        convert_checkpoint(reference_model.state_dict(), bad_dims,
+                           backbone="ropewhisper")
