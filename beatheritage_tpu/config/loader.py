@@ -87,7 +87,10 @@ def compose_yaml(group: str, name: str, config_dir: Path = DEFAULT_CONFIG_DIR) -
                     src, _, dest = key.partition("@")
                     src_group = src.replace("../", "").replace("./", "") or group
                     sub = compose_yaml(src_group, str(value), config_dir)
-                    merged = _deep_merge(merged, {dest: sub})
+                    # "../train@: default" (empty dest) merges at the root —
+                    # used by legacy configs whose defaults point at the old
+                    # root train/inference configs
+                    merged = _deep_merge(merged, {dest: sub} if dest else sub)
                 else:
                     src_group = key.replace("../", "").replace("./", "")
                     merged = _deep_merge(merged, {src_group: compose_yaml(src_group, str(value), config_dir)})
