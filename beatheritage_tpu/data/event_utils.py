@@ -43,14 +43,39 @@ def update_event_times(events: list[Event], event_times: list[int],
             current_time = events[i].value
         event_times.append(current_time)
 
-    # interpolate times for anchors: walk towards the group's time token
+    # interpolate times for anchors: walk towards the group's time token.
+    # Precompute, for every position, the nearest TIME_SHIFT in walk
+    # direction and how many anchors sit in between — the naive per-anchor
+    # rescan is O(run^2) and dominated e2e latency on long generations.
+    step = 1 if types_first else -1
+    n = len(events)
+    fallback_end = end_time if end_time is not None else (
+        event_times[-1] if event_times else 0)
+    # target_time[i]: time of the nearest TIME_SHIFT from i in step
+    # direction (0 / end fallback past the ends);
+    # anchors_to_target[i]: NON_TIMED count in [i, that TIME_SHIFT)
+    target_time = [0] * n
+    anchors_to_target = [0] * n
+    scan = range(n - 1, -1, -1) if step == 1 else range(n)
+    next_time = fallback_end if step == 1 else 0
+    next_anchors = 0
+    for j in scan:
+        ev = events[j]
+        if ev.type == EventType.TIME_SHIFT:
+            next_time = event_times[j]
+            next_anchors = 0
+        elif ev.type in NON_TIMED_EVENTS:
+            next_anchors += 1
+        target_time[j] = next_time
+        anchors_to_target[j] = next_anchors
+
     interpolate = False
     if types_first:
         index = range(start_index, end_index)
         current_time = 0 if not event_times else event_times[start_index]
     else:
         index = range(end_index - 1, start_index - 1, -1)
-        current_time = end_time if end_time is not None else event_times[-1]
+        current_time = fallback_end
     for i in index:
         event = events[i]
         if event.type in TIMED_EVENTS:
@@ -63,25 +88,8 @@ def update_event_times(events: list[Event], event_times: list[int],
         if event.type not in NON_TIMED_EVENTS:
             event_times[i] = current_time
             continue
-
-        # count anchors until the next explicit time in walk direction
-        j = i
-        step = 1 if types_first else -1
-        count = 0
-        other_time = current_time
-        while 0 <= j < len(events):
-            ev2 = events[j]
-            if ev2.type == EventType.TIME_SHIFT:
-                other_time = event_times[j]
-                break
-            if ev2.type in NON_TIMED_EVENTS:
-                count += 1
-            j += step
-        if j < 0:
-            other_time = 0
-        if j >= len(events):
-            other_time = end_time if end_time is not None else event_times[-1]
-
+        other_time = target_time[i]
+        count = anchors_to_target[i]
         current_time = int((current_time - other_time) / (count + 1) * count + other_time)
         event_times[i] = current_time
 

@@ -128,6 +128,31 @@ def position_to_progress(path: SliderPath, pos: np.ndarray,
     return float(ts2[int(np.argmin(d2))])
 
 
+class _RedlineIndex:
+    """Bisect index over a sorted timing list for resnap lookups.
+
+    Same answers as Postprocessor.timing_point_at/.uninherited_after (which
+    stay as the general-purpose linear versions) in O(log n) per query.
+    """
+
+    def __init__(self, timing: list[TimingPoint]):
+        import bisect  # noqa: PLC0415
+        self._bisect = bisect
+        self._timing = timing
+        self._offsets = [tp.offset for tp in timing]
+        self._reds = [tp for tp in timing if tp.parent is None]
+        self._red_offsets = [tp.offset for tp in self._reds]
+
+    def redline_at(self, time: float) -> TimingPoint:
+        i = self._bisect.bisect_right(self._offsets, time) - 1
+        tp = self._timing[max(i, 0)]
+        return tp if tp.parent is None else tp.parent
+
+    def redline_after(self, time: float) -> Optional[TimingPoint]:
+        i = self._bisect.bisect_right(self._red_offsets, time)
+        return self._reds[i] if i < len(self._reds) else None
+
+
 @dataclasses.dataclass
 class Marker:
     time: float
@@ -453,6 +478,10 @@ class Postprocessor:
     def resnap_events(self, events: list[Event],
                       timing: list[TimingPoint]) -> list[Event]:
         timing = sort_timing_points(timing)
+        # index the redlines once: per-TIME_SHIFT linear scans over the
+        # timing list were O(events x timing_points) and showed up in the
+        # e2e latency profile on long generations
+        index = _RedlineIndex(timing)
         out = []
         for i, event in enumerate(events):
             if event.type != EventType.TIME_SHIFT:
@@ -463,18 +492,23 @@ class Postprocessor:
             if i + 1 < len(events) and events[i + 1].type == EventType.SNAPPING:
                 snap_divisor = events[i + 1].value
             if snap_divisor > 0:
-                time = int(self.resnap(time, timing, snap_divisor))
+                time = int(self.resnap(time, timing, snap_divisor, index=index))
             out.append(Event(EventType.TIME_SHIFT, time))
         return out
 
     def resnap(self, time: float, timing: list[TimingPoint],
-               snap_divisor: int) -> float:
+               snap_divisor: int,
+               index: Optional["_RedlineIndex"] = None) -> float:
         if not timing:
             return time
-        before_tp = self.timing_point_at(time, timing)
-        before_tp = before_tp if before_tp.parent is None else before_tp.parent
+        if index is not None:
+            before_tp = index.redline_at(time)
+            after_tp = index.redline_after(time)
+        else:
+            before_tp = self.timing_point_at(time, timing)
+            before_tp = before_tp if before_tp.parent is None else before_tp.parent
+            after_tp = self.uninherited_after(time, timing)
         before_time = round(before_tp.offset)
-        after_tp = self.uninherited_after(time, timing)
         after_time = round(after_tp.offset) if after_tp is not None else None
         if after_time is not None and time > before_time + 10 and time >= after_time - 10:
             return after_time
