@@ -10,10 +10,8 @@ README "Command-Line Inference"):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
-
-from ..config import InferenceConfig, load_config
-from ..inference.pipeline import generate
 
 
 def parse_args(argv=None):
@@ -26,15 +24,32 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _apply_device_override(overrides: list[str]) -> None:
+    """Honor `device=cpu|tpu|auto` before JAX initializes (reference
+    inference.py:31 prepare_args device auto-select)."""
+    for o in overrides:
+        if o.startswith("device="):
+            device = o.split("=", 1)[1].lower()
+            if device in ("cpu", "tpu"):
+                os.environ["JAX_PLATFORMS"] = (
+                    "cpu" if device == "cpu" else os.environ.get(
+                        "JAX_PLATFORMS_TPU_NAME", "axon,tpu"))
+            break
+
+
 def main(argv=None) -> int:
     ns = parse_args(argv)
+    _apply_device_override(ns.overrides)
+    from ..config import InferenceConfig, load_config  # noqa: PLC0415
+    from ..inference.pipeline import generate  # noqa: PLC0415
+
     args = load_config(InferenceConfig, "inference", ns.config_name,
                        overrides=ns.overrides)
     if not args.audio_path and not args.beatmap_path:
         print("error: audio_path or beatmap_path is required "
               "(audio_path=/path/to/song.wav)", file=sys.stderr)
         return 2
-    from ..inference.pipeline import get_args_from_beatmap, load_tokenizer
+    from ..inference.pipeline import get_args_from_beatmap, load_tokenizer  # noqa: PLC0415
     tokenizer = load_tokenizer(args)
     get_args_from_beatmap(args, tokenizer)
     generate(args, tokenizer=tokenizer)

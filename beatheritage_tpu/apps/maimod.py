@@ -149,6 +149,21 @@ def collect_suggestions(out_context_data: list[dict], types_first: bool) -> list
     return suggestions
 
 
+def suggestions_to_json(suggestions: list[Suggestion]) -> list[dict]:
+    """Structured export for the MaiMod web UI (reference mai_mod_ui.py
+    renders the same fields: timestamp link, severity, category, message)."""
+    return [{
+        "time": int(s.time),
+        "timestamp": timestamp(s.time),
+        "edit_link": f"osu://edit/{timestamp(s.time)}",
+        "severity": round(s.surprisal / 10, 1),
+        "category": s.category,
+        "message": s.message,
+        "actual": format_event_value(s.event),
+        "expected": format_event_value(s.expected_event),
+    } for s in sorted(suggestions, key=lambda s: -s.surprisal)]
+
+
 def render_report(suggestions: list[Suggestion], raw: bool = False) -> str:
     lines: list[str] = []
     if raw:
@@ -217,6 +232,7 @@ def main(argv=None) -> int:
                       overrides=[o for o in ns.overrides
                                  if not o.startswith(("beatmap_path=", "raw_output="))])
     args = MaiModConfig(inference=inf)
+    json_path = ""
     for o in ns.overrides:
         if o.startswith("beatmap_path="):
             args.beatmap_path = o.split("=", 1)[1]
@@ -225,8 +241,15 @@ def main(argv=None) -> int:
             args.audio_path = o.split("=", 1)[1]
         if o.startswith("raw_output="):
             args.raw_output = o.split("=", 1)[1].lower() == "true"
+        if o.startswith("json_path="):
+            json_path = o.split("=", 1)[1]
     suggestions = run_mai_mod(args, audio_path=args.audio_path or inf.audio_path,
                               beatmap_path=args.beatmap_path or inf.beatmap_path)
+    if json_path:
+        import json  # noqa: PLC0415
+        Path(json_path).write_text(json.dumps(
+            suggestions_to_json(suggestions), indent=1))
+        print(f"[maimod] wrote {len(suggestions)} suggestions to {json_path}")
     print(render_report(suggestions, raw=args.raw_output))
     return 0
 

@@ -1,17 +1,20 @@
-"""Web UI: browser front-end for inference.
+"""Web UI: browser front-end for generation and MaiMod review.
 
-(reference: web-ui.py — Flask + pywebview with /start_inference,
-/stream_output SSE, /cancel, path validation; the generation itself runs as
-a subprocess of the CLI so the UI stays responsive.) Flask is not in this
-image, so this uses the stdlib http.server with the same route surface.
+(reference: web-ui.py Flask routes /start_inference, /stream_output SSE,
+/cancel_inference, /validate_paths + template/index.html + static/app.js,
+and mai_mod_ui.py — the generation itself runs as a subprocess of the CLI
+so the UI stays responsive and cancel is a process kill.) Flask is not in
+this image, so this uses the stdlib http.server with the same route
+surface; the front-end lives in webui_static/.
 """
 
 from __future__ import annotations
 
-import html
 import json
+import mimetypes
 import subprocess
 import sys
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -19,85 +22,7 @@ from urllib.parse import parse_qs, urlparse
 
 from ..config import DEFAULT_CONFIG_DIR
 
-PAGE = """<!DOCTYPE html>
-<html><head><title>BeatHeritage TPU</title>
-<style>
-body {{ font-family: sans-serif; max-width: 760px; margin: 2em auto; background: #1b1b22; color: #eee; }}
-label {{ display: block; margin-top: .8em; }}
-input, select {{ width: 100%; padding: .4em; background: #2b2b33; color: #eee; border: 1px solid #555; }}
-button {{ margin-top: 1em; padding: .6em 2em; background: #e64a8a; color: white; border: 0; cursor: pointer; }}
-pre {{ background: #111; padding: 1em; height: 300px; overflow-y: scroll; white-space: pre-wrap; }}
-</style></head>
-<body>
-<h1>BeatHeritage TPU</h1>
-<form id="f">
-<label>Model config <select name="config">{configs}</select></label>
-<label>Audio path <input name="audio_path" placeholder="/path/to/song.mp3" data-validate="file"></label>
-<label>Output path <input name="output_path" placeholder="/path/to/output"></label>
-<label>Beatmap path (optional reference) <input name="beatmap_path" data-validate="osu"></label>
-<label>Gamemode <select name="gamemode"><option value="">auto</option>
-<option value="0">osu!</option><option value="1">taiko</option>
-<option value="2">catch</option><option value="3">mania</option></select></label>
-<label>Difficulty <input name="difficulty" placeholder="5.5"></label>
-<label>Mapper ID <input name="mapper_id"></label>
-<label>Year <input name="year"></label>
-<label>Descriptors <select name="descriptor_select" id="descsel" multiple size="5">
-</select></label>
-<label>Extra descriptors (comma separated) <input name="descriptors"></label>
-<label>Negative descriptors (comma separated) <input name="negative_descriptors"></label>
-<label>CFG scale <input name="cfg_scale" value="1.0"></label>
-<label>Extra overrides <input name="extra" placeholder="super_timing=true temperature=0.9"></label>
-<button type="submit">Generate</button>
-<button type="button" onclick="fetch('/cancel', {{method: 'POST'}})">Cancel</button>
-</form>
-<pre id="log"></pre>
-<script>
-const f = document.getElementById('f'), log = document.getElementById('log');
-const descsel = document.getElementById('descsel');
-
-// live path validation: green/red border via /validate_path
-for (const el of document.querySelectorAll('input[data-validate]')) {{
-  el.onblur = async () => {{
-    if (!el.value) {{ el.style.borderColor = '#555'; return; }}
-    const r = await fetch('/validate_path?kind=' + el.dataset.validate +
-                          '&path=' + encodeURIComponent(el.value));
-    const j = await r.json();
-    el.style.borderColor = j.valid ? '#3c9' : '#e44';
-    el.title = j.valid ? '' : j.reason;
-  }};
-}}
-
-// descriptor options come from the selected model's tokenizer
-async function loadDescriptors() {{
-  const cfg = f.elements['config'].value;
-  const r = await fetch('/descriptors?config=' + encodeURIComponent(cfg));
-  const names = await r.json();
-  descsel.innerHTML = names.map(n =>
-    `<option value="${{n}}">${{n}}</option>`).join('');
-  descsel.parentElement.style.display = names.length ? '' : 'none';
-}}
-f.elements['config'].onchange = loadDescriptors;
-loadDescriptors();
-
-f.onsubmit = async (e) => {{
-  e.preventDefault();
-  log.textContent = '';
-  const data = Object.fromEntries(new FormData(f));
-  data.descriptor_select = [...descsel.selectedOptions].map(o => o.value);
-  const r = await fetch('/start_inference', {{method: 'POST', headers: {{'Content-Type': 'application/json'}}, body: JSON.stringify(data)}});
-  if (!r.ok) {{ log.textContent = 'error: ' + (await r.json()).error; return; }}
-  const resp = await fetch('/stream_output');
-  const reader = resp.body.getReader();
-  const dec = new TextDecoder();
-  while (true) {{
-    const {{done, value}} = await reader.read();
-    if (done) break;
-    log.textContent += dec.decode(value);
-    log.scrollTop = log.scrollHeight;
-  }}
-}};
-</script>
-</body></html>"""
+STATIC_DIR = Path(__file__).resolve().parent / "webui_static"
 
 
 class InferenceProcess:
@@ -107,11 +32,11 @@ class InferenceProcess:
         self.proc: subprocess.Popen | None = None
         self.lock = threading.Lock()
 
-    def start(self, args: list[str]) -> None:
+    def start(self, module: str, args: list[str]) -> None:
         with self.lock:
             self.cancel()
             self.proc = subprocess.Popen(
-                [sys.executable, "-m", "beatheritage_tpu.apps.cli"] + args,
+                [sys.executable, "-m", module] + args,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
                 bufsize=1)
 
@@ -131,11 +56,12 @@ class InferenceProcess:
 
 
 STATE = InferenceProcess()
+MAIMOD_JSON = Path(tempfile.gettempdir()) / "bh_maimod_result.json"
 
 
 def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
-    """Path validation matching the reference UI's checks (web-ui.py
-    validate_beatmap_path/validate_audio_path)."""
+    """Path validation matching the reference UI's checks
+    (web-ui.py:514 validate_paths)."""
     p = Path(path)
     if not p.is_file():
         return False, "file does not exist"
@@ -145,6 +71,15 @@ def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
             ".wav", ".mp3", ".ogg", ".flac", ".m4a"):
         return False, f"unsupported audio extension {p.suffix}"
     return True, ""
+
+
+def list_models() -> list[str]:
+    """Inference presets for the model dropdown (reference web-ui.py:146-549
+    offers v28..beatheritage_v1 + tiny variants)."""
+    names = sorted(p.stem for p in (DEFAULT_CONFIG_DIR / "inference").glob("*.yaml"))
+    # surface the flagship presets first
+    front = [n for n in ("beatheritage_v1", "v31", "v30", "v29", "v28") if n in names]
+    return front + [n for n in names if n not in front]
 
 
 def list_descriptors(config_name: str) -> list[str]:
@@ -161,14 +96,48 @@ def list_descriptors(config_name: str) -> list[str]:
         return []
 
 
+def list_context_options(config_name: str) -> list[str]:
+    """Context types the selected model was trained with in-context
+    (drives the reference UI's in-context checkbox group)."""
+    try:
+        from ..config import InferenceConfig, load_config  # noqa: PLC0415
+        args = load_config(InferenceConfig, "inference", config_name)
+        opts: list[str] = []
+        for ctx in args.train.data.context_types or []:
+            ins = ctx.get("in", []) if isinstance(ctx, dict) else ctx.in_context
+            for c in ins:
+                name = getattr(c, "value", str(c))
+                if name not in opts and name != "none":
+                    opts.append(name)
+        return opts
+    except Exception:
+        return []
+
+
+# form field -> hydra-style override key, passed through verbatim when set
+SCALAR_FIELDS = (
+    "audio_path", "output_path", "beatmap_path", "gamemode", "difficulty",
+    "mapper_id", "year", "cfg_scale", "seed", "temperature", "top_p",
+    "hp_drain_rate", "circle_size", "overall_difficulty", "approach_rate",
+    "slider_multiplier", "slider_tick_rate", "keycount", "hold_note_ratio",
+    "scroll_speed_ratio", "start_time", "end_time",
+)
+BOOL_FIELDS = ("super_timing", "add_to_beatmap", "export_osz", "use_server",
+               "hitsounded")
+
+
 def build_overrides(form: dict) -> tuple[str, list[str]]:
+    """Translate the UI form into CLI overrides (reference
+    web-ui.py:154-282 start_inference arg assembly)."""
     config = form.get("config") or "default"
     overrides = []
-    for key in ("audio_path", "output_path", "beatmap_path", "gamemode",
-                "difficulty", "mapper_id", "year", "cfg_scale"):
+    for key in SCALAR_FIELDS:
         value = form.get(key)
-        if value:
+        if value not in (None, "", False):
             overrides.append(f"{key}={value}")
+    for key in BOOL_FIELDS:
+        if key in form:
+            overrides.append(f"{key}={'true' if form[key] else 'false'}")
     selected = list(form.get("descriptor_select") or [])
     typed = [d.strip() for d in (form.get("descriptors") or "").split(",")
              if d.strip()]
@@ -180,8 +149,11 @@ def build_overrides(form: dict) -> tuple[str, list[str]]:
                 if d.strip()]
     if negative:
         overrides.append(f"negative_descriptors=[{','.join(negative)}]")
+    in_ctx = list(form.get("in_context_options") or [])
+    if in_ctx:
+        overrides.append(f"in_context=[{','.join(['none'] + in_ctx)}]")
     if form.get("extra"):
-        overrides.extend(form["extra"].split())
+        overrides.extend(str(form["extra"]).split())
     return config, overrides
 
 
@@ -197,13 +169,23 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _json(self, obj, code=200):
+        self._send(code, json.dumps(obj), "application/json")
+
     def do_GET(self):
         path = urlparse(self.path).path
+        q = parse_qs(urlparse(self.path).query)
         if path == "/":
-            configs = sorted(p.stem for p in (DEFAULT_CONFIG_DIR / "inference").glob("*.yaml"))
-            options = "".join(f'<option value="{html.escape(c)}">{html.escape(c)}</option>'
-                              for c in configs)
-            self._send(200, PAGE.format(configs=options))
+            self._send(200, (STATIC_DIR / "index.html").read_text())
+        elif path.startswith("/static/"):
+            f = STATIC_DIR / Path(path).name  # flat dir; no traversal
+            if f.is_file():
+                ctype = mimetypes.guess_type(f.name)[0] or "text/plain"
+                self._send(200, f.read_bytes(), ctype)
+            else:
+                self._send(404, "not found")
+        elif path == "/models":
+            self._json(list_models())
         elif path == "/stream_output":
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -215,18 +197,20 @@ class Handler(BaseHTTPRequestHandler):
                 self.wfile.flush()
             self.wfile.write(b"0\r\n\r\n")
         elif path == "/validate_path":
-            q = parse_qs(urlparse(self.path).query)
             p = q.get("path", [""])[0]
             kind = q.get("kind", ["file"])[0]
             valid, reason = validate_path_kind(p, kind)
-            self._send(200, json.dumps({"exists": Path(p).is_file(),
-                                        "valid": valid, "reason": reason}),
-                       "application/json")
+            self._json({"exists": Path(p).is_file(), "valid": valid,
+                        "reason": reason})
         elif path == "/descriptors":
-            q = parse_qs(urlparse(self.path).query)
-            cfg = q.get("config", ["default"])[0]
-            self._send(200, json.dumps(list_descriptors(cfg)),
-                       "application/json")
+            self._json(list_descriptors(q.get("config", ["default"])[0]))
+        elif path == "/context_options":
+            self._json(list_context_options(q.get("config", ["default"])[0]))
+        elif path == "/maimod_result":
+            if MAIMOD_JSON.is_file():
+                self._send(200, MAIMOD_JSON.read_text(), "application/json")
+            else:
+                self._json([])
         else:
             self._send(404, "not found")
 
@@ -239,23 +223,35 @@ class Handler(BaseHTTPRequestHandler):
             audio = form.get("audio_path") or ""
             ok, reason = validate_path_kind(audio, "file")
             if not ok:
-                self._send(400, json.dumps({"error": f"audio_path: {reason}"}),
-                           "application/json")
+                self._json({"error": f"audio_path: {reason}"}, 400)
                 return
             bm = form.get("beatmap_path") or ""
             if bm:
                 ok, reason = validate_path_kind(bm, "osu")
                 if not ok:
-                    self._send(400, json.dumps(
-                        {"error": f"beatmap_path: {reason}"}),
-                        "application/json")
+                    self._json({"error": f"beatmap_path: {reason}"}, 400)
                     return
             config, overrides = build_overrides(form)
-            STATE.start(["-cn", config] + overrides)
-            self._send(200, json.dumps({"started": True}), "application/json")
-        elif path == "/cancel":
+            STATE.start("beatheritage_tpu.apps.cli", ["-cn", config] + overrides)
+            self._json({"started": True})
+        elif path == "/start_maimod":
+            form = json.loads(body)
+            bm = form.get("beatmap_path") or ""
+            ok, reason = validate_path_kind(bm, "osu")
+            if not ok:
+                self._json({"error": f"beatmap_path: {reason}"}, 400)
+                return
+            MAIMOD_JSON.unlink(missing_ok=True)
+            overrides = [f"beatmap_path={bm}", f"json_path={MAIMOD_JSON}"]
+            if form.get("audio_path"):
+                overrides.append(f"audio_path={form['audio_path']}")
+            config = form.get("config") or "default"
+            STATE.start("beatheritage_tpu.apps.maimod",
+                        ["-cn", config] + overrides)
+            self._json({"started": True})
+        elif path in ("/cancel", "/cancel_inference"):
             STATE.cancel()
-            self._send(200, json.dumps({"cancelled": True}), "application/json")
+            self._json({"cancelled": True})
         else:
             self._send(404, "not found")
 
