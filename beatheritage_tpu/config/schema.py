@@ -374,6 +374,10 @@ class InferenceConfig:
     fixed_prompt_pad: bool = True
     do_sample: bool = True
     num_beams: int = 1
+    # speculative decoding: prompt-lookup drafts verified K at a time in one
+    # chunk forward (decode/speculative.py). 0 disables; greedy streams are
+    # bit-identical, sampled streams equal in distribution
+    speculative_k: int = 0
     super_timing: bool = False
     timer_num_beams: int = 2
     timer_bpm_threshold: float = 0.7

@@ -329,6 +329,14 @@ class Processor:
                 prompt_j, mask_j, eos_mask,
                 max_len=self.tgt_seq_len, num_beams=self.num_beams,
                 dtype=self.dtype)
+        elif getattr(self.args, "speculative_k", 0) > 0:
+            from ..decode.speculative import generate_speculative  # noqa: PLC0415
+            out = generate_speculative(
+                self.params, self.dims, settings, self.tables, enc_hidden,
+                prompt_j, mask_j, eos_mask, self._next_key(),
+                max_len=self.tgt_seq_len,
+                draft_k=int(self.args.speculative_k), dtype=self.dtype,
+                lookback_mask=lookback_mask)
         else:
             out = engine_generate(
                 self.params, self.dims, settings, self.tables, enc_hidden,
