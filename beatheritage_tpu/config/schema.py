@@ -378,6 +378,10 @@ class InferenceConfig:
     # chunk forward (decode/speculative.py). 0 disables; greedy streams are
     # bit-identical, sampled streams equal in distribution
     speculative_k: int = 0
+    # AOT executable cache: serialize compiled decode programs so later
+    # processes skip the 10-15 min remote compile (decode/aot.py). 'auto'
+    # resolves to ~/.cache/beatheritage_tpu/aot; '' disables
+    aot_cache_dir: str = "auto"
     super_timing: bool = False
     timer_num_beams: int = 2
     timer_bpm_threshold: float = 0.7

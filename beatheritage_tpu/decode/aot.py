@@ -1,0 +1,123 @@
+"""AOT program cache: serialize compiled decode executables across processes.
+
+Cold start dominates first-song latency: the fused decode program takes
+10-15 min to compile through the axon remote-compile tunnel, and the
+standard JAX persistent compilation cache does not capture remote-compiled
+binaries (docs/ROUND_NOTES.md). This module side-steps both by serializing
+the *compiled executable* (jax.experimental.serialize_executable) keyed by
+a digest of the lowered StableHLO + device fingerprint: a later process
+deserializes and runs with zero compilation.
+
+(reference equivalent: torch.compile + CUDA graph caching, inference.py:556;
+this is the TPU-native version.)
+
+Usage:
+    out = aot_call(engine.generate, cache_dir,
+                   params, dims, settings, ..., max_len=..., dtype=...)
+
+`aot_call` falls back to the plain jitted call on any serialization failure
+(e.g. an executable the backend refuses to serialize), so it can never make
+things worse than the status quo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from pathlib import Path
+
+import jax
+
+_LOADED: dict[str, object] = {}  # digest -> loaded executable (per process)
+_SIG_MEMO: dict = {}  # cheap call signature -> executable (skip re-lowering)
+
+
+def _call_signature(jitted_fn, args, kwargs):
+    """Hashable shape/dtype/static signature — avoids re-tracing the big
+    decode program on every window batch just to compute its digest."""
+    def leaf_sig(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return ("arr", tuple(x.shape), str(x.dtype))
+        return ("static", repr(x))
+    flat, treedef = jax.tree_util.tree_flatten((args, tuple(sorted(kwargs.items()))))
+    return (id(jitted_fn), treedef, tuple(leaf_sig(x) for x in flat))
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "BH_AOT_CACHE",
+        str(Path.home() / ".cache" / "beatheritage_tpu" / "aot"))
+
+
+def _device_fingerprint() -> str:
+    d = jax.devices()[0]
+    return f"{d.platform}-{getattr(d, 'device_kind', '?')}-{jax.device_count()}"
+
+
+def _digest(lowered) -> str:
+    text = lowered.as_text()
+    h = hashlib.sha256()
+    h.update(_device_fingerprint().encode())
+    h.update(text.encode())
+    return h.hexdigest()[:24]
+
+
+def aot_call(jitted_fn, cache_dir, *args, **kwargs):
+    """Call a jitted function through the AOT executable cache.
+
+    Traces (cheap) to obtain the lowered module, then loads a previously
+    serialized executable for its digest or compiles once and serializes.
+    Returns the function output. Pass cache_dir=None/'' to bypass entirely.
+    """
+    if not cache_dir:
+        return jitted_fn(*args, **kwargs)
+    cache_dir = Path(os.path.expanduser(str(cache_dir)))
+
+    try:
+        sig = _call_signature(jitted_fn, args, kwargs)
+    except TypeError:
+        sig = None
+    if sig is not None and sig in _SIG_MEMO:
+        try:
+            return _SIG_MEMO[sig](*args, **kwargs)
+        except Exception:
+            return jitted_fn(*args, **kwargs)
+
+    try:
+        lowered = jitted_fn.lower(*args, **kwargs)
+        digest = _digest(lowered)
+    except Exception:
+        return jitted_fn(*args, **kwargs)
+
+    exe = _LOADED.get(digest)
+    if exe is None:
+        path = cache_dir / f"{digest}.aotx"
+        if path.is_file():
+            try:
+                from jax.experimental import serialize_executable as se  # noqa: PLC0415
+                blob, in_tree, out_tree = pickle.loads(path.read_bytes())
+                exe = se.deserialize_and_load(blob, in_tree, out_tree)
+            except Exception:
+                exe = None
+        if exe is None:
+            compiled = lowered.compile()
+            try:
+                from jax.experimental import serialize_executable as se  # noqa: PLC0415
+                payload = pickle.dumps(se.serialize(compiled))
+                cache_dir.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(".tmp")
+                tmp.write_bytes(payload)
+                tmp.replace(path)
+            except Exception:
+                pass  # unserializable backend: still use the compiled exe
+            exe = compiled
+        _LOADED[digest] = exe
+
+    if sig is not None:
+        _SIG_MEMO[sig] = exe
+    try:
+        return exe(*args, **kwargs)
+    except Exception:
+        # argument-convention mismatch: plain call
+        return jitted_fn(*args, **kwargs)

@@ -322,23 +322,33 @@ class Processor:
                 self.params = _jax.device_put(self.params, rep)
                 self._params_replicated = True
 
+        # AOT executable cache: later processes load the serialized decode
+        # program instead of paying the remote compile (decode/aot.py)
+        from ..decode.aot import aot_call, default_cache_dir  # noqa: PLC0415
+        aot_dir = getattr(self.args, "aot_cache_dir", "") or ""
+        if aot_dir == "auto":
+            aot_dir = default_cache_dir()
+
         if (self.num_beams > 1 and not settings.do_sample and not cfg_on):
             from ..decode.engine import beam_generate  # noqa: PLC0415
-            out = beam_generate(
+            out = aot_call(
+                beam_generate, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask,
                 max_len=self.tgt_seq_len, num_beams=self.num_beams,
                 dtype=self.dtype)
         elif getattr(self.args, "speculative_k", 0) > 0:
             from ..decode.speculative import generate_speculative  # noqa: PLC0415
-            out = generate_speculative(
+            out = aot_call(
+                generate_speculative, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask, self._next_key(),
                 max_len=self.tgt_seq_len,
                 draft_k=int(self.args.speculative_k), dtype=self.dtype,
                 lookback_mask=lookback_mask)
         else:
-            out = engine_generate(
+            out = aot_call(
+                engine_generate, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask, self._next_key(),
                 max_len=self.tgt_seq_len, dtype=self.dtype,

@@ -108,3 +108,27 @@ def test_sampling_speculative_produces_valid_stream(setup):
     assert 8 < length <= 80
     assert (tokens[:, 8:length] < tok.vocab_size_out).all()
     assert (tokens[:, 8:length] >= 0).all()
+
+
+def test_aot_executable_cache_roundtrip(setup, tmp_path):
+    """decode/aot.py: a 'fresh process' (cleared in-memory maps) loads the
+    serialized decode executable from disk and produces identical tokens."""
+    from beatheritage_tpu.decode import aot
+
+    cfg, tok, dims, params, tables = setup
+    enc, prompt, mask = _inputs(cfg, tok, dims)
+    eos_mask = jnp.zeros((tok.vocab_size_out,), bool).at[tok.eos_id].set(True)
+    settings = SamplerSettings(do_sample=False)
+    key = jax.random.PRNGKey(1)
+
+    out1 = aot.aot_call(generate, str(tmp_path), params, dims, settings,
+                        tables, enc, prompt, mask, eos_mask, key,
+                        max_len=48, dtype=jnp.float32)
+    assert list(tmp_path.glob("*.aotx")), "no serialized executable written"
+    aot._LOADED.clear()
+    aot._SIG_MEMO.clear()
+    out2 = aot.aot_call(generate, str(tmp_path), params, dims, settings,
+                        tables, enc, prompt, mask, eos_mask, key,
+                        max_len=48, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out1["tokens"]),
+                                  np.asarray(out2["tokens"]))
