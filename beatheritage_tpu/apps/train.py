@@ -45,7 +45,12 @@ def main(argv=None) -> int:
 
     parser_obj = BeatmapParser(cfg, tokenizer)
     dims = ModelDims.from_config(cfg, tokenizer)
-    params = init_params(jax.random.PRNGKey(cfg.seed), dims)
+    from ..models.backbones import resolve_backbone
+    try:
+        init_fn = resolve_backbone(cfg.model.name).init
+    except ValueError:
+        init_fn = init_params  # custom arch name: RoPE family
+    params = init_fn(jax.random.PRNGKey(cfg.seed), dims)
 
     shared = SharedTrainState()
     from ..train.logging import MetricsLogger

@@ -51,23 +51,42 @@ def init_train_state(params, optimizer, ema: bool = True) -> TrainState:
 
 
 def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
-                 dtype=jnp.bfloat16) -> Callable:
+                 dtype=jnp.bfloat16, backbone=None) -> Callable:
     class_weights = rhythm_class_weights(dims)
+
+    def backbone_logits(params, batch):
+        """Non-RoPE families (whisper/nwhisper/t5) route through the
+        backbone registry; no flash/remat (they are the small legacy
+        models)."""
+        enc_kw = {}
+        if backbone.family == "whisper":
+            enc_kw = dict(beatmap_idx=batch.get("beatmap_idx"),
+                          difficulty=batch.get("difficulty"),
+                          mapper_idx=batch.get("mapper_idx"),
+                          song_position=batch.get("song_position"))
+        enc = backbone.encode(params, dims, cfg, batch["frames"],
+                              dtype=dtype, **enc_kw)
+        return backbone.decode_train(params, dims,
+                                     batch["decoder_input_ids"], enc,
+                                     dtype=dtype)
 
     def loss_fn(params, batch):
         # gradient checkpointing remats PER LAYER inside the scans (only the
         # layer inputs are stored); checkpointing the whole forward would
         # still save every layer's scan residuals simultaneously — 30+ GB
         # at B=4, T=8192
-        logits = forward(
-            params, dims, cfg, batch["frames"], batch["decoder_input_ids"],
-            decoder_attention_mask=batch.get("decoder_attention_mask"),
-            beatmap_idx=batch.get("beatmap_idx"),
-            difficulty=batch.get("difficulty"),
-            mapper_idx=batch.get("mapper_idx"),
-            song_position=batch.get("song_position"),
-            dtype=dtype, use_flash=use_flash,
-            remat=cfg.gradient_checkpointing)
+        if backbone is not None and backbone.family != "ropewhisper":
+            logits = backbone_logits(params, batch)
+        else:
+            logits = forward(
+                params, dims, cfg, batch["frames"], batch["decoder_input_ids"],
+                decoder_attention_mask=batch.get("decoder_attention_mask"),
+                beatmap_idx=batch.get("beatmap_idx"),
+                difficulty=batch.get("difficulty"),
+                mapper_idx=batch.get("mapper_idx"),
+                song_position=batch.get("song_position"),
+                dtype=dtype, use_flash=use_flash,
+                remat=cfg.gradient_checkpointing)
         loss, n_tokens = weighted_cross_entropy(
             logits, batch["labels"], class_weights,
             label_smoothing=dims.label_smoothing,
@@ -85,14 +104,15 @@ def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
 
 def make_train_step(dims: ModelDims, cfg, optimizer, mesh: Mesh, *,
                     grad_acc: int = 1, use_flash: bool = False,
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, backbone=None):
     """Build the jitted train step.
 
     batch arrays have a leading microbatch axis when grad_acc > 1:
     (grad_acc, B_micro, ...); otherwise plain (B, ...).
     """
-    loss_fn = make_loss_fn(dims, cfg, use_flash, dtype)
+    loss_fn = make_loss_fn(dims, cfg, use_flash, dtype, backbone=backbone)
     ema_decay = cfg.optim.ema_decay
+    post_step = getattr(backbone, "post_step", None)
 
     def single_grads(params, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
@@ -118,6 +138,10 @@ def make_train_step(dims: ModelDims, cfg, optimizer, mesh: Mesh, *,
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(jnp.add, state.params, updates)
+        if post_step is not None:
+            # e.g. NWhisper re-projects NormLinear weights onto the unit
+            # sphere after each step (reference register_step_post_hook)
+            params = post_step(params)
         ema_params = state.ema_params
         if ema_params is not None:
             ema_params = jax.tree.map(
@@ -215,11 +239,17 @@ class Trainer:
         use_flash = (self.cfg.flash_attention
                      and jax.default_backend() == "tpu"
                      and not self.cfg.data.center_pad_decoder)
+        from ..models.backbones import resolve_backbone  # noqa: PLC0415
+        try:
+            self.backbone = resolve_backbone(self.cfg.model.name)
+        except ValueError:
+            self.backbone = None  # custom arch name: default RoPE family
         self.train_step = make_train_step(
             self.dims, self.cfg, self.optimizer, self.mesh,
             grad_acc=self.cfg.optim.grad_acc,
             use_flash=use_flash,
-            dtype=jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32)
+            dtype=jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32,
+            backbone=self.backbone)
 
     def fit(self, batches: Iterator[dict], max_steps: Optional[int] = None) -> dict:
         """Run the loop; returns the last metrics.

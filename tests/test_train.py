@@ -230,3 +230,49 @@ def test_muon_update_matches_reference_torch_step(shape_out_in):
     np.testing.assert_allclose(ours, ref_update, atol=0.08, rtol=0.05)
     # the aspect-ratio scale itself must match exactly in magnitude
     assert np.linalg.norm(ours) == pytest.approx(np.linalg.norm(ref_update), rel=0.05)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("family,model_name", [
+    ("whisper", "whisper-base"),
+    ("nwhisper", "nwhisper-base"),
+    ("t5", "t5-small"),
+])
+def test_train_step_runs_for_every_backbone_family(family, model_name):
+    """Every reference backbone family trains through the registry
+    (models/backbones.py; reference get_backbone_model swaps families by
+    config name, modeling_mapperatorinator.py:19)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from beatheritage_tpu.config import TrainConfig, load_config
+    from beatheritage_tpu.models import ModelDims
+    from beatheritage_tpu.models.backbones import resolve_backbone
+    from beatheritage_tpu.tokenizer import Tokenizer
+    from beatheritage_tpu.train.train_loop import Trainer
+
+    cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+        f"model.name={model_name}", "optim.grad_acc=1",
+        "optim.batch_size=8", "gradient_checkpointing=false",
+        "precision=f32"])
+    tok = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tok)
+    bb = resolve_backbone(cfg.model.name)
+    assert bb.family == family
+    params = bb.init(jax.random.PRNGKey(0), dims)
+
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
+    n = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+    batch = {
+        "frames": np.random.default_rng(0).standard_normal((8, n)).astype(np.float32),
+        "decoder_input_ids": np.ones((8, 16), np.int32),
+        "labels": np.full((8, 16), 5, np.int32),
+    }
+    state, metrics = trainer.train_step(trainer.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    if family == "nwhisper":
+        # post-step hook keeps NormLinear weights unit-norm
+        w = np.asarray(state.params["decoder"]["layers"]["q"]["w"][0])
+        np.testing.assert_allclose(np.linalg.norm(w, axis=0), 1.0, atol=1e-3)
