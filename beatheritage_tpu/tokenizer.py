@@ -270,9 +270,12 @@ class Tokenizer:
     def diff_unk(self) -> int:
         return self.encode(Event(EventType.DIFFICULTY, self.num_diff_classes))
 
-    def encode_style(self, beatmap_id: int) -> int:
+    def encode_style_event(self, beatmap_id: int) -> Event:
         idx = self.beatmap_idx.get(beatmap_id, self.num_classes)
-        return self.encode(Event(EventType.STYLE, idx))
+        return Event(EventType.STYLE, idx)
+
+    def encode_style(self, beatmap_id: int) -> int:
+        return self.encode(self.encode_style_event(beatmap_id))
 
     def encode_style_idx(self, beatmap_idx: int) -> int:
         return self.encode(Event(EventType.STYLE, beatmap_idx))
@@ -281,9 +284,13 @@ class Tokenizer:
     def style_unk(self) -> int:
         return self.encode(Event(EventType.STYLE, self.num_classes))
 
-    def encode_mapper(self, beatmap_id: int) -> int:
+    def encode_mapper_event(self, beatmap_id: int) -> Event:
         user_id = self.beatmap_mapper.get(beatmap_id, -1)
-        return self.encode_mapper_id(user_id)
+        return Event(EventType.MAPPER,
+                     self.mapper_idx.get(user_id, self.num_mapper_classes))
+
+    def encode_mapper(self, beatmap_id: int) -> int:
+        return self.encode(self.encode_mapper_event(beatmap_id))
 
     def encode_mapper_id(self, user_id: int) -> int:
         idx = self.mapper_idx.get(user_id, self.num_mapper_classes)
@@ -296,18 +303,24 @@ class Tokenizer:
     def mapper_unk(self) -> int:
         return self.encode(Event(EventType.MAPPER, self.num_mapper_classes))
 
-    def encode_cs(self, cs: float) -> int:
+    def encode_cs_event(self, cs: float) -> Event:
         value = int(np.clip(int(cs * (self.num_cs_classes - 1) / 10), 0,
                             self.num_cs_classes - 1))
-        return self.encode(Event(EventType.CS, value))
+        return Event(EventType.CS, value)
+
+    def encode_cs(self, cs: float) -> int:
+        return self.encode(self.encode_cs_event(cs))
 
     @property
     def cs_unk(self) -> int:
         return self.encode(Event(EventType.CS, self.num_cs_classes))
 
-    def encode_descriptor(self, beatmap_id: int) -> list[int]:
+    def encode_descriptor_events(self, beatmap_id: int) -> list[Event]:
         idxs = self.beatmap_descriptors.get(beatmap_id, [self.num_descriptor_classes])
-        return [self.encode_descriptor_idx(i) for i in idxs]
+        return [Event(EventType.DESCRIPTOR, i) for i in idxs]
+
+    def encode_descriptor(self, beatmap_id: int) -> list[int]:
+        return [self.encode(e) for e in self.encode_descriptor_events(beatmap_id)]
 
     def encode_descriptor_name(self, descriptor: str) -> int:
         idx = self.descriptor_idx.get(descriptor, self.num_descriptor_classes)
@@ -360,13 +373,21 @@ class Tokenizer:
             return self.scroll_speed_ratio_unk
         return self.encode(Event(EventType.SCROLL_SPEED_RATIO, self.ratio_to_value(ratio, 10)))
 
-    def encode_song_length(self, song_length_ms: float) -> int:
+    def encode_song_length_event(self, song_length_ms: float) -> Event:
         value = int(np.clip(song_length_ms // 10000, 0, 60))
-        return self.encode(Event(EventType.SONG_LENGTH, value))
+        return Event(EventType.SONG_LENGTH, value)
+
+    def encode_song_length(self, song_length_ms: float) -> int:
+        return self.encode(self.encode_song_length_event(song_length_ms))
+
+    def encode_song_position_event(self, song_position_ms: float,
+                                   song_length_ms: float) -> Event:
+        value = self.ratio_to_value(song_position_ms / song_length_ms, 100)
+        return Event(EventType.SONG_POSITION, value)
 
     def encode_song_position(self, song_position_ms: float, song_length_ms: float) -> int:
-        value = self.ratio_to_value(song_position_ms / song_length_ms, 100)
-        return self.encode(Event(EventType.SONG_POSITION, value))
+        return self.encode(self.encode_song_position_event(
+            song_position_ms, song_length_ms))
 
     def encode_global_sv(self, global_sv: float) -> int:
         return self.encode(Event(EventType.GLOBAL_SV,
