@@ -1028,63 +1028,71 @@ class Processor:
 
     def _generate_parallel(self, sequences, in_data, out_data, cond,
                            req_special, song_length, verbose):
+        """All windows batched per out-context. Contexts still run in order
+        (like _generate_sequential and the reference's per-context
+        model_generate loop): each context's decode stops at ITS context_eos
+        and its windows' tokens feed the next context's decoder prefix
+        (reference processor.py:366 generate_parallel)."""
         windows, window_times = sequences[0], sequences[1]
         n = len(windows)
-        prompts, uncond_prompts, song_positions = [], [], []
-        for w in range(n):
-            frame_time = float(window_times[w])
-            cp, up = self.get_prompts(
-                self.prepare_context_sequences(in_data, frame_time, False, req_special),
-                self.prepare_context_sequences(out_data[:1], frame_time, True, req_special))
-            prompts.append(cp)
-            uncond_prompts.append(up)
-            song_positions.append(self._window_song_position(frame_time, song_length)[0])
+        for i, context in enumerate(out_data):
+            if context["finished"]:
+                continue
+            if verbose:
+                print(f"Generating {context['context_type'].value}")
+            prompts, uncond_prompts, song_positions = [], [], []
+            for w in range(n):
+                frame_time = float(window_times[w])
+                cp, up = self.get_prompts(
+                    self.prepare_context_sequences(in_data, frame_time, False,
+                                                   req_special),
+                    self.prepare_context_sequences(out_data[:i + 1], frame_time,
+                                                   True, req_special))
+                prompts.append(cp)
+                uncond_prompts.append(up)
+                song_positions.append(
+                    self._window_song_position(frame_time, song_length)[0])
 
-        max_p = max(len(p) for p in prompts)
-        if self.cfg_scale > 1:
-            max_p = max(max_p, max(len(p) for p in uncond_prompts))
+            max_p = max(len(p) for p in prompts)
+            if self.cfg_scale > 1:
+                max_p = max(max_p, max(len(p) for p in uncond_prompts))
 
-        def stack(ps):
-            arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
-            for i, p in enumerate(ps):
-                arr[i, max_p - len(p):] = p
-            return arr
+            def stack(ps, width=None):
+                width = width or max_p
+                arr = np.full((len(ps), width), self.tokenizer.pad_id, np.int32)
+                for j, p in enumerate(ps):
+                    arr[j, width - len(p):] = p
+                return arr
 
-        cond_arr = stack(prompts)
-        uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
+            cond_arr = stack(prompts)
+            uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
 
-        bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
-        all_tokens: list[np.ndarray] = []
-        iterator = range(0, n, bsz)
-        if verbose:
-            from tqdm import tqdm  # noqa: PLC0415
-            iterator = tqdm(list(iterator))
-        for start in iterator:
-            stop = min(start + bsz, n)
-            wcond = {k: np.repeat(v, stop - start, axis=0) for k, v in cond.items()}
-            if self.do_song_position_embed:
-                wcond["song_position"] = np.stack(song_positions[start:stop])
-            results = self._dispatch(
-                windows[start:stop], wcond, cond_arr[start:stop],
-                uncond_arr[start:stop] if uncond_arr is not None else None,
-                0.0, 0.0, out_data[0]["context_type"])
-            all_tokens.extend(results)
+            bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
+            all_tokens: list[np.ndarray] = []
+            iterator = range(0, n, bsz)
+            if verbose:
+                from tqdm import tqdm  # noqa: PLC0415
+                iterator = tqdm(list(iterator))
+            for start in iterator:
+                stop = min(start + bsz, n)
+                wcond = {k: np.repeat(v, stop - start, axis=0)
+                         for k, v in cond.items()}
+                if self.do_song_position_embed:
+                    wcond["song_position"] = np.stack(song_positions[start:stop])
+                results = self._dispatch(
+                    windows[start:stop], wcond, cond_arr[start:stop],
+                    uncond_arr[start:stop] if uncond_arr is not None else None,
+                    0.0, 0.0, context["context_type"])
+                all_tokens.extend(results)
 
-        for w, seq in enumerate(all_tokens):
-            frame_time = float(window_times[w])
-            if self.add_out_context_types:
-                for context in out_data:
-                    s, e = self._get_token_context(
-                        seq, self.tokenizer.context_sos[context["context_type"]],
-                        self.tokenizer.context_eos[context["context_type"]])
-                    self.add_predicted_tokens_to_context(context, seq[s:e], frame_time)
-            else:
-                s, e = self._get_token_context(seq, self.tokenizer.sos_id,
-                                               self.tokenizer.eos_id)
-                self.add_predicted_tokens_to_context(out_data[0], seq[s:e], frame_time)
+            for w, seq in enumerate(all_tokens):
+                self.add_predicted_tokens_to_context(
+                    context, seq, float(window_times[w]))
 
     @staticmethod
     def _get_token_context(tokens, sos, eos):
+        """[start, end) of one context's tokens inside a teacher-forced
+        prompt that contains explicit context sos/eos markers (ai_mod)."""
         tokens = np.asarray(tokens)
         starts = np.nonzero(tokens == sos)[0]
         start = int(starts[0]) + 1 if len(starts) > 0 else 1

@@ -186,3 +186,56 @@ def test_data_parallel_windows_matches_single_device(args, wav):
     assert len(outs[False][0]) == len(outs[True][0])
     for (e0, e1) in zip(outs[False][0], outs[True][0]):
         assert [str(e) for e in e0] == [str(e) for e in e1]
+
+
+def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
+    """Parallel mode runs one decode per out-context (in template order) and
+    must file each decode's tokens under ITS context — regression for the
+    bug where only out_data[0] was decoded and later contexts absorbed its
+    token stream (empty maps with timing-only events)."""
+    import dataclasses
+    from beatheritage_tpu.inference.pipeline import build_configs
+    from beatheritage_tpu.inference.processor import Processor
+
+    cfg = dataclasses.replace(args, parallel=True)
+    tok = load_tokenizer(cfg)
+    params, _ = load_model(cfg, tok)
+    gen_cfg, _ = build_configs(cfg)
+    pre = Preprocessor(cfg, parallel=True)
+    sequences = pre.segment(pre.load(wav))
+
+    proc = Processor(cfg, params, tok, verbose=False)
+    seen_contexts = []
+
+    def fake_dispatch(frames, wcond, cond_prompt, uncond_prompt,
+                      lookback_time, lookahead_time, context_type):
+        seen_contexts.append(context_type)
+        if context_type == ContextType.TIMING:
+            toks = [tok.encode(Event(EventType.TIME_SHIFT, 1)),
+                    tok.encode(Event(EventType.BEAT, 0)),
+                    tok.context_eos[ContextType.TIMING]]
+        else:
+            toks = [tok.encode(Event(EventType.TIME_SHIFT, 1)),
+                    tok.encode(Event(EventType.SNAPPING, 4)),
+                    tok.encode(Event(EventType.CIRCLE, 0)),
+                    tok.context_eos[ContextType.MAP]]
+        return [np.asarray(toks, np.int32) for _ in range(len(frames))]
+
+    proc._dispatch = fake_dispatch
+    results = proc.generate(
+        sequences=sequences, generation_config=gen_cfg,
+        in_context=[], out_context=[ContextType.TIMING, ContextType.MAP],
+        verbose=False)
+
+    # the trained template may interleave more contexts (e.g. kiai); the
+    # requested ones must each get their own dispatch, in template order
+    assert seen_contexts.index(ContextType.TIMING) < seen_contexts.index(ContextType.MAP)
+    assert len(set(seen_contexts)) == len(seen_contexts)  # one decode per context
+    assert len(results) == 2
+    timing_events, map_events = results[0][0], results[1][0]
+    timing_types = {e.type for e in timing_events}
+    map_types = {e.type for e in map_events}
+    assert EventType.BEAT in timing_types
+    assert EventType.CIRCLE not in timing_types
+    assert EventType.CIRCLE in map_types
+    assert EventType.BEAT not in map_types
