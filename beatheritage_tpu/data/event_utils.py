@@ -69,29 +69,32 @@ def update_event_times(events: list[Event], event_times: list[int],
         target_time[j] = next_time
         anchors_to_target[j] = next_anchors
 
-    interpolate = False
     if types_first:
         index = range(start_index, end_index)
         current_time = 0 if not event_times else event_times[start_index]
     else:
         index = range(end_index - 1, start_index - 1, -1)
         current_time = fallback_end
+    # walk the events once; inside an anchor run each NON_TIMED event steps
+    # `current_time` one even fraction closer to the run's destination time
+    # (the nearest TIME_SHIFT precomputed above), and attribute events
+    # between anchors inherit the running value; a TIMED event ends the run
+    in_anchor_run = False
     for i in index:
-        event = events[i]
-        if event.type in TIMED_EVENTS:
-            interpolate = False
-        if event.type in NON_TIMED_EVENTS:
-            interpolate = True
-        if not interpolate:
-            current_time = event_times[i]
-            continue
-        if event.type not in NON_TIMED_EVENTS:
+        etype = events[i].type
+        if etype in TIMED_EVENTS:
+            in_anchor_run = False
+        if etype in NON_TIMED_EVENTS:
+            in_anchor_run = True
+            dest = target_time[i]
+            remaining = anchors_to_target[i]
+            current_time = int(
+                (current_time - dest) / (remaining + 1) * remaining + dest)
             event_times[i] = current_time
-            continue
-        other_time = target_time[i]
-        count = anchors_to_target[i]
-        current_time = int((current_time - other_time) / (count + 1) * count + other_time)
-        event_times[i] = current_time
+        elif in_anchor_run:
+            event_times[i] = current_time
+        else:
+            current_time = event_times[i]
 
 
 def merge_events(a: tuple[list[Event], list[int]],

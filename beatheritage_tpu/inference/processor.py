@@ -49,7 +49,9 @@ MILISECONDS_PER_STEP = 10
 
 @dataclasses.dataclass
 class GenerationConfig:
-    """Per-run conditioning (reference processor.py:26)."""
+    """Per-run conditioning. Field names/defaults are behavior-pinned to the
+    reference's public config surface (reference processor.py:26
+    GenerationConfig) — they ARE the CLI/API contract being matched."""
 
     gamemode: int = 0
     beatmap_id: Optional[int] = None
@@ -799,18 +801,17 @@ class Processor:
     def prepare_context_sequences(self, contexts: list[dict], frame_time,
                                   out_context: bool,
                                   req_special_tokens: list[str]) -> list[dict]:
-        results = []
-        for i, context in enumerate(contexts):
-            result = self.prepare_context_sequence(context, frame_time)
-            results.append(result)
-            if out_context and i != 0:
-                for k, v in result["extra_special_events"].items():
-                    results[0]["extra_special_events"][k] = v
-                del result["extra_special_events"]
-        if out_context:
+        results = [self.prepare_context_sequence(c, frame_time)
+                   for c in contexts]
+        if out_context and results:
+            # fold every context's special events onto the head context
+            # (later contexts win ties), then fill required defaults
+            head = results[0]["extra_special_events"]
+            for result in results[1:]:
+                head.update(result.pop("extra_special_events"))
             for k in req_special_tokens:
-                if k not in results[0]["extra_special_events"]:
-                    results[0]["extra_special_events"][k] = self._default_special_event(k)
+                if k not in head:
+                    head[k] = self._default_special_event(k)
         order = ["last_kiai", "last_sv", "song_position"]
         for result in results:
             if "extra_special_events" not in result:

@@ -116,38 +116,45 @@ class SuperTimingGenerator:
                           measures_hist, timing_points_hist, tpbs,
                           measure_counts):
         groups, _ = get_groups(events, types_first=self.types_first)
+        hist_for = {EventType.BEAT: beats_hist,
+                    EventType.MEASURE: measures_hist,
+                    EventType.TIMING_POINT: timing_points_hist}
         last_beat_time = None
         last_group_type = None
         last_measure_time = None
         measure_counter = None
         for group in groups:
-            time = group.time - audio_offset
-            if time < 0 or time >= num_ms or group.event_type not in BEAT_TYPES:
-                if group.event_type not in BEAT_TYPES:
-                    continue
+            etype = group.event_type
+            if etype not in BEAT_TYPES:
                 continue
-            if group.event_type == EventType.BEAT:
-                beats_hist[time] += 1
+            time = group.time - audio_offset
+            if not 0 <= time < num_ms:
+                continue
+            hist_for[etype][time] += 1
+
+            # measure bookkeeping: BEAT extends the running count, MEASURE
+            # closes and restarts it, TIMING_POINT restarts without closing
+            # (an uninherited point resets the bar, it doesn't end one)
+            if etype is EventType.BEAT:
                 if measure_counter is not None:
                     measure_counter += 1
-            elif group.event_type == EventType.MEASURE:
-                measures_hist[time] += 1
-                if measure_counter is not None:
+            else:
+                if etype is EventType.MEASURE and measure_counter is not None:
                     measure_counts.append((last_measure_time, measure_counter))
                 last_measure_time = time
                 measure_counter = 1
-            elif group.event_type == EventType.TIMING_POINT:
-                timing_points_hist[time] += 1
-                last_measure_time = time
-                measure_counter = 1
+
+            # per-beat period vote, except across a fresh timing point (the
+            # gap before a redline is not a beat interval)
+            fresh_timing_point = (etype is EventType.TIMING_POINT
+                                  and last_group_type is not EventType.TIMING_POINT)
             if (last_beat_time is not None and last_beat_time != time
-                    and not (group.event_type == EventType.TIMING_POINT
-                             and last_group_type != EventType.TIMING_POINT)):
+                    and not fresh_timing_point):
                 tpb = (time - last_beat_time) // MILISECONDS_PER_STEP
                 if 20 < tpb < 100:
                     tpbs.append((last_beat_time, tpb))
             last_beat_time = time
-            last_group_type = group.event_type
+            last_group_type = etype
 
     # -- BPM assignment ------------------------------------------------------------
 
