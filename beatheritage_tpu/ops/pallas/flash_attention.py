@@ -1,4 +1,4 @@
-"""Blocked attention kernel (Pallas, TPU).
+"""Blocked flash-attention kernel (Pallas, TPU).
 
 Replaces HF SDPA/flash-attn in the reference backbones for the long-sequence
 paths (reference: modeling_nwhisper.py:571,702, Dockerfile:5): encoder
@@ -6,11 +6,15 @@ self-attention over up to 4096 mel frames and teacher-forced decoder
 attention over up to 8192 tokens.
 
 Strategy: K/V for one (batch, head) live in VMEM (T<=8192, D<=128 fits
-comfortably); the grid tiles query blocks, so the (Tq, Tk) score matrix is
-never materialized in HBM — scores live blockwise in VMEM/registers with the
-softmax computed per query block in f32. This is the memory layout that
-matters on TPU (HBM bandwidth), without the online-softmax bookkeeping that
-flash attention needs when K/V exceed VMEM.
+comfortably); the grid tiles query blocks and each query block walks K/V in
+chunks with the online-softmax recurrence, so the (Tq, Tk) score matrix is
+never materialized — per-chunk scores live in VMEM/registers in f32. Two
+rules keep the MXU busy:
+  * matmuls take the INPUT dtype (bf16 under training) with f32
+    accumulation (`preferred_element_type`) — upcasting operands to f32
+    would quarter the MXU rate;
+  * causal blocks entirely above the diagonal are skipped (the chunk loop's
+    upper bound depends on the query-block index), halving causal FLOPs.
 """
 
 from __future__ import annotations
@@ -25,30 +29,53 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _pick_chunk(tk: int) -> int:
+    """Largest K-chunk length that tiles tk (whole-K fallback)."""
+    return next((c for c in (1024, 512, 256, 128) if tk % c == 0), tk)
+
+
+def _causal_upper(qi, block_q: int, block_k: int, n_chunks: int):
+    """Number of K chunks a causal query block [qi*bq, (qi+1)*bq) can see."""
+    return jnp.minimum((qi * block_q + block_q - 1) // block_k + 1, n_chunks)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                 is_causal: bool, block_q: int):
+                 is_causal: bool, block_q: int, block_k: int):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
-    k = k_ref[0].astype(jnp.float32)  # (T, D)
-    v = v_ref[0]                      # (T, D)
+    q = q_ref[0]  # (block_q, D), input dtype — bf16 matmuls on the MXU
+    d = q.shape[-1]
+    n_chunks = k_ref.shape[1] // block_k
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (block_q, T)
+    def chunk_body(c, carry):
+        m, l, acc = carry
+        ks = pl.ds(c * block_k, block_k)
+        kc = k_ref[0, ks, :]
+        vc = v_ref[0, ks, :]
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
+        if is_causal:
+            q_pos = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            k_pos = (c * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
 
-    if is_causal:
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    upper = (_causal_upper(qi, block_q, block_k, n_chunks) if is_causal
+             else n_chunks)
+    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, upper, chunk_body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
     # saved for the backward pass; lse laid out (bh, 1, tq) so the block's
     # trailing dims satisfy Mosaic tiling rules
     lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
@@ -62,7 +89,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     T=8192; probabilities are recomputed from the saved logsumexp (no
     online-softmax bookkeeping needed). dK/dV accumulate across the
     sequential query-block grid dimension AND across k-chunks via
-    read-modify-write stores."""
+    read-modify-write stores. p/ds round to the input dtype before their
+    matmuls (the flash-attn convention) so the MXU runs at bf16 rate."""
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
@@ -70,17 +98,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)    # (block_q, D)
-    do = do_ref[0].astype(jnp.float32)  # (block_q, D)
-    lse = lse_ref[0, 0][:, None]        # (block_q, 1)
+    q = q_ref[0]                        # (block_q, D) input dtype
+    do = do_ref[0]                      # (block_q, D) input dtype
+    lse = lse_ref[0, 0][:, None]        # (block_q, 1) f32
     delta = delta_ref[0, 0][:, None]    # (block_q, 1) = rowsum(do * o)
     d = q.shape[-1]
     n_chunks = k_ref.shape[1] // block_k
+    in_dtype = q_ref.dtype
 
     def chunk_body(c, dq_acc):
         ks = pl.ds(c * block_k, block_k)
-        kc = k_ref[0, ks, :].astype(jnp.float32)   # (block_k, D)
-        vc = v_ref[0, ks, :].astype(jnp.float32)
+        kc = k_ref[0, ks, :]            # (block_k, D)
+        vc = v_ref[0, ks, :]
         s = jax.lax.dot_general(
             q, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -90,16 +119,16 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             k_pos = (c * block_k
                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)            # (block_q, block_k)
+        p = jnp.exp(s - lse)            # (block_q, block_k) f32
 
         # dv[c] += p^T . do ; dp = do . v^T ; ds = p*(dp-delta) ; dq += ds.k
         dv_ref[0, ks, :] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(in_dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
             do, vc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(in_dtype)
         dk_ref[0, ks, :] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
@@ -107,7 +136,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ds, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, n_chunks, chunk_body,
+    upper = (_causal_upper(qi, block_q, block_k, n_chunks) if is_causal
+             else n_chunks)
+    dq = jax.lax.fori_loop(0, upper, chunk_body,
                            jnp.zeros((block_q, d), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -120,20 +151,18 @@ def _pad_q(x, block_q):
     return x, tq + pad
 
 
-def _fwd_block(tk: int, block_q: int) -> int:
-    """Shrink the query block as K grows: the f32 score block (block_q, tk)
-    must fit VMEM next to K/V (16 MB scoped limit; 256x8192 f32 alone is
-    8 MB and the forward keeps two such intermediates)."""
-    if tk > 4096:
-        return min(block_q, 128)
-    return block_q
+def _block_q(tq: int, block_q: int) -> int:
+    """K is walked in chunks, so block_q no longer shrinks with Tk; only
+    clamp to (a tiling-friendly floor of) the actual query length."""
+    return min(block_q, max(tq, 16))
 
 
 def _fwd_impl(q, k, v, is_causal, block_q, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     scale = d ** -0.5
-    block_q = min(_fwd_block(tk, block_q), max(tq, 16))
+    block_q = _block_q(tq, block_q)
+    block_k = _pick_chunk(tk)
     qp, tq_p = _pad_q(q, block_q)
 
     qf = qp.reshape(b * h, tq_p, d)
@@ -143,7 +172,7 @@ def _fwd_impl(q, k, v, is_causal, block_q, interpret):
     grid = (b * h, tq_p // block_q)
     out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, is_causal=is_causal,
-                          block_q=block_q),
+                          block_q=block_q, block_k=block_k),
         out_shape=[jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
                    jax.ShapeDtypeStruct((b * h, 1, tq_p), jnp.float32)],
         grid=grid,
@@ -185,7 +214,7 @@ def _flash_bwd(is_causal, block_q, interpret, residuals, do):
     bh, tq_p, _ = qf.shape
     tk = kf.shape[1]
     scale = d ** -0.5
-    blk = min(_fwd_block(tk, block_q), max(tq, 16))
+    blk = _block_q(tq, block_q)  # must match the forward's padding block
     acc_dtype = jnp.float32  # exact dK/dV accumulation (VMEM limit raised)
 
     pad = tq_p - tq  # match the forward's padded length exactly
@@ -195,8 +224,7 @@ def _flash_bwd(is_causal, block_q, interpret, residuals, do):
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1)[:, None, :]  # (bh, 1, tq_p)
 
-    block_k = next((c for c in (1024, 512, 256, 128)
-                    if tk % c == 0), tk)
+    block_k = _pick_chunk(tk)
     grid = (bh, tq_p // blk)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, is_causal=is_causal,

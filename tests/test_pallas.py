@@ -96,3 +96,39 @@ def test_flash_attention_backward_matches_xla(is_causal, tq):
     for a, r, name in zip(g_flash, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3,
                                    rtol=5e-3, err_msg=f"d{name}")
+
+
+def test_flash_attention_causal_multichunk():
+    """tk spanning several K chunks exercises the causal chunk-skip bound
+    (query blocks must still see every chunk up to their diagonal)."""
+    b, h, t, d = 1, 2, 384, 64  # _pick_chunk(384)=128 -> 3 chunks
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = (jax.random.normal(x, (b, h, t, d)) for x in ks)
+    ref = dot_product_attention(q, k, v, is_causal=True)
+    out = flash_attention(q, k, v, is_causal=True, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) * jnp.cos(fn(*a))).sum()
+
+    g = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, is_causal=True, block_q=32, interpret=True)),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(lambda q, k, v: dot_product_attention(
+        q, k, v, is_causal=True)), argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-3,
+                                   rtol=5e-3, err_msg=f"d{name}")
+
+
+def test_flash_attention_bf16_inputs():
+    """bf16 inputs run the kernels' bf16-matmul path (the MXU rate case)."""
+    b, h, t, d = 1, 2, 128, 64
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q, k, v = (jax.random.normal(x, (b, h, t, d), jnp.bfloat16) for x in ks)
+    ref = dot_product_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                                v.astype(jnp.float32), is_causal=True)
+    out = flash_attention(q, k, v, is_causal=True, block_q=32, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
