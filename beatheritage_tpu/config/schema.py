@@ -190,6 +190,9 @@ class OptimizerConfig:
     grad_acc: int = 8
     final_cosine: float = 1e-5
     ema_decay: float = 0.999
+    # Muon momentum-buffer storage dtype: 'f32' (default) or 'bf16'. bf16
+    # halves the buffer's HBM; the NS iteration casts to bf16 anyway.
+    muon_momentum_dtype: str = "f32"
 
 
 @dataclass
@@ -239,6 +242,9 @@ class TrainConfig:
     seed: int = 42
     flash_attention: bool = True
     gradient_checkpointing: bool = False
+    # chunked cross-entropy: compute lm_head+loss per token chunk of this
+    # size under remat so (B, T, V) logits never materialize; 0 = off
+    loss_chunk_size: int = 0
     checkpoint_path: str = ""
     pretrained_path: str = ""
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
 from ..ops.mel import mel_from_config
-from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.pallas.flash_attention import flash_attention_fused
+from ..ops.rope import apply_rope, rope_cos_sin, rotate_half
 from .embedders import (
     apply_difficulty_embedder,
     apply_label_embedder,
@@ -233,13 +234,36 @@ def _conv1d(x, p, stride=1):
     return out + p["b"].astype(x.dtype)
 
 
+def _rope_fused(x, cos, sin, num_heads):
+    """RoPE on the fused (B, T, H*D) layout: per-head rotate-half with the
+    (T, D) tables broadcast over heads (minor-dim reshapes are free)."""
+    b, t, hd = x.shape
+    d = hd // num_heads
+    x4 = x.reshape(b, t, num_heads, d)
+    rot = x4 * cos[None, :, None, :] + rotate_half(x4) * sin[None, :, None, :]
+    return rot.astype(x.dtype).reshape(b, t, hd)
+
+
 def _self_attention(layer, x, cos, sin, num_heads, *, is_causal, mask=None,
                     use_flash=False):
-    q = split_heads(_linear(x, layer["q"]), num_heads)
-    k = split_heads(_linear(x, layer["k"]), num_heads)
-    v = split_heads(_linear(x, layer["v"]), num_heads)
-    q, k = apply_rope(q, k, cos, sin)
-    out = dot_product_attention(q, k, v, is_causal=is_causal, mask=mask,
+    qf = _linear(x, layer["q"])
+    kf = _linear(x, layer["k"])
+    vf = _linear(x, layer["v"])
+    if use_flash and mask is None:
+        # fused layout: no split/merge transposes, no 64->128 lane padding
+        # on the kernel's HBM arrays (ops/pallas/flash_attention.py)
+        try:
+            out = flash_attention_fused(
+                _rope_fused(qf, cos, sin, num_heads),
+                _rope_fused(kf, cos, sin, num_heads),
+                vf, num_heads, is_causal=is_causal)
+            return _linear(out, layer["o"])
+        except NotImplementedError:
+            pass  # head_dim x heads cannot tile lanes: generic path below
+    q, k = apply_rope(split_heads(qf, num_heads), split_heads(kf, num_heads),
+                      cos, sin)
+    out = dot_product_attention(q, k, split_heads(vf, num_heads),
+                                is_causal=is_causal, mask=mask,
                                 use_flash=use_flash)
     return _linear(merge_heads(out), layer["o"])
 
@@ -327,8 +351,10 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
                  decoder_attention_mask: Optional[jnp.ndarray] = None,
                  encoder_attention_mask: Optional[jnp.ndarray] = None,
                  dtype=jnp.bfloat16, use_flash: bool = False,
-                 remat: bool = False) -> jnp.ndarray:
-    """Teacher-forced decode: token ids (B, T) -> logits (B, T, vocab_out)."""
+                 remat: bool = False, return_hidden: bool = False) -> jnp.ndarray:
+    """Teacher-forced decode: token ids (B, T) -> logits (B, T, vocab_out),
+    or the pre-head hidden states (B, T, D) with return_hidden (for the
+    chunked-loss training path, which applies lm_head per token chunk)."""
     x = params["dec_embed"].astype(dtype)[decoder_input_ids]
     t = x.shape[1]
     cos, sin = rope_cos_sin(
@@ -358,32 +384,49 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
                                 cos, sin, dims.num_heads, is_causal=True,
                                 mask=self_mask, use_flash=use_flash)
         hn = rms_norm(h, layer["ln2"]["g"])
-        q = split_heads(_linear(hn, layer["xq"]), dims.num_heads)
-        k = split_heads(_linear(enc, layer["xk"]), dims.num_heads)
-        v = split_heads(_linear(enc, layer["xv"]), dims.num_heads)
-        cross = dot_product_attention(q, k, v, mask=cross_mask, use_flash=use_flash)
-        h = h + _linear(merge_heads(cross), layer["xo"])
+        qf = _linear(hn, layer["xq"])
+        kf = _linear(enc, layer["xk"])
+        vf = _linear(enc, layer["xv"])
+        cross = None
+        if use_flash and cross_mask is None:
+            try:
+                cross = _linear(flash_attention_fused(
+                    qf, kf, vf, dims.num_heads), layer["xo"])
+            except NotImplementedError:
+                pass
+        if cross is None:
+            out4 = dot_product_attention(
+                split_heads(qf, dims.num_heads), split_heads(kf, dims.num_heads),
+                split_heads(vf, dims.num_heads), mask=cross_mask,
+                use_flash=use_flash)
+            cross = _linear(merge_heads(out4), layer["xo"])
+        h = h + cross
         h = h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
         return h, None
 
     body = jax.checkpoint(layer_fn) if remat else layer_fn
     x, _ = jax.lax.scan(body, x, params["decoder"]["layers"])
     x = rms_norm(x, params["decoder"]["lnf"]["g"])
+    if return_hidden:
+        return x
     return (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
 
 
 def forward(params, dims: ModelDims, cfg, audio, decoder_input_ids, *,
             decoder_attention_mask=None, beatmap_idx=None, difficulty=None,
             mapper_idx=None, song_position=None, dtype=jnp.bfloat16,
-            use_flash: bool = False, remat: bool = False) -> jnp.ndarray:
-    """Full seq2seq forward: audio + decoder ids -> logits."""
+            use_flash: bool = False, remat: bool = False,
+            return_hidden: bool = False) -> jnp.ndarray:
+    """Full seq2seq forward: audio + decoder ids -> logits (or pre-head
+    hidden states with return_hidden, for the chunked-loss path)."""
     enc = encode(params, dims, cfg, audio, beatmap_idx=beatmap_idx,
                  difficulty=difficulty, mapper_idx=mapper_idx,
                  song_position=song_position, dtype=dtype,
                  use_flash=use_flash, remat=remat)
     return decode_train(params, dims, decoder_input_ids, enc,
                         decoder_attention_mask=decoder_attention_mask,
-                        dtype=dtype, use_flash=use_flash, remat=remat)
+                        dtype=dtype, use_flash=use_flash, remat=remat,
+                        return_hidden=return_hidden)
 
 
 # -- loss --------------------------------------------------------------------------
@@ -405,7 +448,16 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
 
     Returns (loss, n_valid_tokens). logits (B,T,V) f32, labels (B,T) int.
     """
-    vocab = logits.shape[-1]
+    loss_sum, n_valid = _wce_sums(logits, labels, class_weights,
+                                  label_smoothing, sample_weights)
+    # reference divides the weighted sum by the raw count of valid labels
+    return loss_sum / jnp.maximum(n_valid, 1), n_valid
+
+
+def _wce_sums(logits, labels, class_weights, label_smoothing,
+              sample_weights):
+    """(weighted loss sum, valid-token count) — the chunkable core of
+    weighted_cross_entropy."""
     valid = labels != LABEL_IGNORE_ID
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -421,5 +473,51 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     loss_tok = loss_tok * valid
     if sample_weights is not None:
         loss_tok = loss_tok * sample_weights[:, None]
-    # reference divides the weighted sum by the raw count of valid labels
-    return loss_tok.sum() / jnp.maximum(valid.sum(), 1), valid.sum()
+    return loss_tok.sum(), valid.sum()
+
+
+def chunked_weighted_cross_entropy(hidden: jnp.ndarray, lm_head: jnp.ndarray,
+                                   labels: jnp.ndarray,
+                                   class_weights: jnp.ndarray,
+                                   label_smoothing: float = 0.0,
+                                   sample_weights: Optional[jnp.ndarray] = None,
+                                   chunk: int = 512
+                                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """weighted_cross_entropy without ever materializing (B, T, V) logits.
+
+    Scans token chunks, projecting through lm_head and reducing the loss per
+    chunk under jax.checkpoint (the backward recomputes one chunk's logits
+    at a time). At the flagship scale (B=32, T=8192, V=5545) the fused
+    logits+CE intermediates were the two largest buffers in the train step
+    (5.4 GB f32 + 2.7 GB bf16); chunking caps them at chunk/T of that.
+    Numerics match weighted_cross_entropy exactly (same f32 log-softmax,
+    same weighted-sum / valid-count division). Returns
+    (loss, n_valid_tokens, n_correct) — the argmax-accuracy count comes for
+    free inside the chunk, where the caller no longer has logits.
+    """
+    b, t, d = hidden.shape
+    pad = (-t) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=LABEL_IGNORE_ID)
+    n_chunks = (t + pad) // chunk
+    hid = hidden.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    lab = labels.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_fn(carry, xs):
+        h, l = xs
+        logits = (h @ lm_head.astype(h.dtype)).astype(jnp.float32)
+        s, n = _wce_sums(logits, l, class_weights, label_smoothing,
+                         sample_weights)
+        correct = jnp.sum((jnp.argmax(logits, -1) == l)
+                          & (l != LABEL_IGNORE_ID))
+        return (carry[0] + s, carry[1] + n,
+                carry[2] + correct.astype(jnp.int32)), None
+
+    (loss_sum, n_valid, n_correct), _ = jax.lax.scan(
+        chunk_fn, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                   jnp.zeros((), jnp.int32)),
+        (hid, lab))
+    return loss_sum / jnp.maximum(n_valid, 1), n_valid, n_correct

@@ -95,19 +95,35 @@ class MuonState(NamedTuple):
     momentum: dict
 
 
-def muon_transform(momentum=0.95, nesterov=True,
-                   ns_steps=6) -> optax.GradientTransformation:
+def muon_transform(momentum=0.95, nesterov=True, ns_steps=6,
+                   momentum_dtype=None) -> optax.GradientTransformation:
     """Unit-step Muon update (orthogonalized momentum, negated); compose with
-    optax.scale_by_schedule for the learning rate."""
+    optax.scale_by_schedule for the learning rate.
+
+    momentum_dtype: storage dtype for the momentum buffer (None = grad
+    dtype). bf16 halves the buffer's HBM (the NS iteration casts to bf16 on
+    entry anyway, so only cross-step accumulation feels the rounding; the
+    orthogonalization uses direction, not magnitude). The accumulation
+    itself always runs in f32."""
 
     def init_fn(params):
-        return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
+        if momentum_dtype is None:
+            return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
+        return MuonState(momentum=jax.tree.map(
+            lambda p: jnp.zeros(p.shape, momentum_dtype), params))
 
     def update_fn(grads, state, params=None):
         del params
-        buf = jax.tree.map(lambda b, g: momentum * b + g, state.momentum, grads)
-        eff = (jax.tree.map(lambda g, b: g + momentum * b, grads, buf)
-               if nesterov else buf)
+
+        def accumulate(b, g):
+            new = momentum * b.astype(jnp.float32) + g.astype(jnp.float32)
+            return new.astype(b.dtype)
+
+        buf = jax.tree.map(accumulate, state.momentum, grads)
+        eff = (jax.tree.map(lambda g, b: g + momentum * b.astype(g.dtype),
+                            grads, buf)
+               if nesterov else jax.tree.map(lambda g, b: b.astype(g.dtype),
+                                             grads, buf))
 
         def upd(g):
             o = _orthogonalize_any(g, ns_steps)
@@ -151,12 +167,20 @@ def build_optimizer(optim_cfg, schedule) -> optax.GradientTransformation:
     elif name == "adamwscale":
         core = adamwscale(schedule, weight_decay=optim_cfg.weight_decay)
     elif name == "muon":
+        mom_bf16 = getattr(optim_cfg, "muon_momentum_dtype", "f32") == "bf16"
         adamw_part = optax.chain(
             optax.adamw(lambda c: schedule(c) * optim_cfg.base_lr_2 / optim_cfg.base_lr,
-                        b1=0.90, b2=0.95, weight_decay=optim_cfg.weight_decay),
+                        b1=0.90, b2=0.95, weight_decay=optim_cfg.weight_decay,
+                        # first moment follows the momentum-dtype knob (the
+                        # tables are 122M params at flagship scale); the
+                        # second moment stays f32 (sqrt of tiny values)
+                        mu_dtype=jnp.bfloat16 if mom_bf16 else None),
         )
+        mom_dtype = (jnp.bfloat16
+                     if getattr(optim_cfg, "muon_momentum_dtype", "f32") == "bf16"
+                     else None)
         muon_part = optax.chain(
-            muon_transform(),
+            muon_transform(momentum_dtype=mom_dtype),
             optax.scale_by_schedule(schedule),
         )
         core = optax.multi_transform(

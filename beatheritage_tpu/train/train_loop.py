@@ -70,12 +70,38 @@ def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
                                      batch["decoder_input_ids"], enc,
                                      dtype=dtype)
 
+    loss_chunk = int(getattr(cfg, "loss_chunk_size", 0) or 0)
+
     def loss_fn(params, batch):
         # gradient checkpointing remats PER LAYER inside the scans (only the
         # layer inputs are stored); checkpointing the whole forward would
         # still save every layer's scan residuals simultaneously — 30+ GB
         # at B=4, T=8192
-        if backbone is not None and backbone.family != "ropewhisper":
+        rope = backbone is None or backbone.family == "ropewhisper"
+        if rope and loss_chunk > 0:
+            # chunked loss: never materialize (B, T, V) logits — the two
+            # largest train-step buffers at flagship scale (8+ GB at B=32)
+            hidden = forward(
+                params, dims, cfg, batch["frames"], batch["decoder_input_ids"],
+                decoder_attention_mask=batch.get("decoder_attention_mask"),
+                beatmap_idx=batch.get("beatmap_idx"),
+                difficulty=batch.get("difficulty"),
+                mapper_idx=batch.get("mapper_idx"),
+                song_position=batch.get("song_position"),
+                dtype=dtype, use_flash=use_flash,
+                remat=cfg.gradient_checkpointing, return_hidden=True)
+            from ..models.transformer import chunked_weighted_cross_entropy
+            loss, n_tokens, n_correct = chunked_weighted_cross_entropy(
+                hidden, params["lm_head"], batch["labels"], class_weights,
+                label_smoothing=dims.label_smoothing,
+                sample_weights=batch.get("sample_weights"),
+                chunk=loss_chunk)
+            return loss, {
+                "loss": loss,
+                "accuracy": n_correct / jnp.maximum(n_tokens, 1),
+                "n_tokens": n_tokens,
+            }
+        if not rope:
             logits = backbone_logits(params, batch)
         else:
             logits = forward(
@@ -231,7 +257,11 @@ class Trainer:
         schedule = build_schedule(self.cfg.optim)
         self.schedule = schedule
         self.optimizer = build_optimizer(self.cfg.optim, schedule)
-        self.state = init_train_state(self.params, self.optimizer)
+        # ema_decay <= 0 disables the EMA copy (1.3 GB at flagship scale;
+        # the reference osuT5 declares ema_decay but its train loop never
+        # applies it — EMA is real only for the diffusion model)
+        self.state = init_train_state(self.params, self.optimizer,
+                                      ema=self.cfg.optim.ema_decay > 0)
         # Pallas kernels only compile on TPU (CPU would need interpret mode).
         # Flash training also drops the decoder padding key-mask, which is
         # loss-exact only for tail padding — center_pad_decoder layouts put

@@ -72,6 +72,8 @@ def main() -> int:
     ap.add_argument("--tgt-cap", type=int, default=0,
                     help="optional tgt_seq_len cap to bound compile size")
     ap.add_argument("--out", default="/tmp/bench_e2e")
+    ap.add_argument("-O", "--override", action="append", default=[],
+                    help="extra inference-config overrides (key=value)")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +90,7 @@ def main() -> int:
         overrides.append(f"model_path={args.ckpt}")
     if args.tgt_cap:
         overrides.append(f"train.data.tgt_seq_len={args.tgt_cap}")
+    overrides.extend(args.override)
     cfg = load_config(InferenceConfig, "inference", args.config,
                       overrides=overrides)
 

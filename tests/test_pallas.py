@@ -132,3 +132,73 @@ def test_flash_attention_bf16_inputs():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+class TestFusedLayout:
+    """flash_attention_fused: (B, T, H*D) layout, packed-head kernel."""
+
+    @staticmethod
+    def _ref(q, k, v, h, is_causal):
+        def split(x):
+            b, t, hd = x.shape
+            return x.reshape(b, t, h, hd // h).transpose(0, 2, 1, 3)
+        o = dot_product_attention(split(q), split(k), split(v),
+                                  is_causal=is_causal)
+        b, _, t, d = o.shape
+        return o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    @pytest.mark.parametrize("is_causal,tq,tk", [
+        (False, 128, 128), (True, 96, 96), (False, 50, 64), (True, 384, 384)])
+    def test_forward_matches_xla(self, is_causal, tq, tk):
+        from beatheritage_tpu.ops.pallas.flash_attention import (
+            flash_attention_fused)
+        b, h, d = 2, 4, 64
+        ks = jax.random.split(jax.random.PRNGKey(tq + tk), 3)
+        q = jax.random.normal(ks[0], (b, tq, h * d))
+        k = jax.random.normal(ks[1], (b, tk, h * d))
+        v = jax.random.normal(ks[2], (b, tk, h * d))
+        out = flash_attention_fused(q, k, v, h, is_causal=is_causal,
+                                    block_q=32, interpret=True)
+        ref = self._ref(q, k, v, h, is_causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    @pytest.mark.parametrize("is_causal,t", [(False, 128), (True, 96),
+                                             (True, 384)])
+    def test_backward_matches_xla(self, is_causal, t):
+        from beatheritage_tpu.ops.pallas.flash_attention import (
+            flash_attention_fused)
+        b, h, d = 2, 4, 64
+        ks = jax.random.split(jax.random.PRNGKey(t), 3)
+        q, k, v = (jax.random.normal(x, (b, t, h * d)) for x in ks)
+
+        def loss_fused(q, k, v):
+            o = flash_attention_fused(q, k, v, h, is_causal=is_causal,
+                                      block_q=32, interpret=True)
+            return (o * jnp.cos(o)).sum()
+
+        def loss_ref(q, k, v):
+            o = self._ref(q, k, v, h, is_causal)
+            return (o * jnp.cos(o)).sum()
+
+        g = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r, name in zip(g, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"d{name}")
+
+    def test_bf16(self):
+        from beatheritage_tpu.ops.pallas.flash_attention import (
+            flash_attention_fused)
+        b, t, h, d = 1, 128, 4, 64
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q, k, v = (jax.random.normal(x, (b, t, h * d), jnp.bfloat16)
+                   for x in ks)
+        out = flash_attention_fused(q, k, v, h, is_causal=True, block_q=32,
+                                    interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = self._ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), h, True)
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   np.asarray(ref), atol=3e-2, rtol=3e-2)

@@ -276,3 +276,118 @@ def test_train_step_runs_for_every_backbone_family(family, model_name):
         # post-step hook keeps NormLinear weights unit-norm
         w = np.asarray(state.params["decoder"]["layers"]["q"]["w"][0])
         np.testing.assert_allclose(np.linalg.norm(w, axis=0), 1.0, atol=1e-3)
+
+
+def test_muon_bf16_momentum_tracks_f32():
+    """bf16 momentum storage (optim.muon_momentum_dtype) must track the f32
+    trajectory closely: the NS iteration casts to bf16 on entry anyway, so
+    only cross-step accumulation rounding differs."""
+    import jax
+    import jax.numpy as jnp
+    from beatheritage_tpu.train.optim import muon_transform
+
+    key = jax.random.PRNGKey(3)
+    w = {"w": jax.random.normal(key, (64, 256)) * 0.02}
+
+    def run(momentum_dtype):
+        tx = muon_transform(momentum_dtype=momentum_dtype)
+        state = tx.init(w)
+        params = dict(w)
+        for i in range(8):
+            g = {"w": jax.random.normal(jax.random.PRNGKey(10 + i),
+                                        (64, 256)) * 0.1}
+            upd, state = tx.update(g, state)
+            params = jax.tree.map(lambda p, u: p + 1e-3 * u, params, upd)
+        return params["w"]
+
+    f32 = run(None)
+    bf16 = run(jnp.bfloat16)
+    # direction agreement: cosine similarity of the total update
+    d32, d16 = f32 - w["w"], bf16 - w["w"]
+    cos = float(jnp.sum(d32 * d16) /
+                (jnp.linalg.norm(d32) * jnp.linalg.norm(d16)))
+    assert cos > 0.99
+
+
+def test_chunked_cross_entropy_matches_unchunked():
+    """chunked_weighted_cross_entropy must equal the plain path exactly-ish:
+    same loss, counts, and gradients (incl. ragged T % chunk != 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from beatheritage_tpu.models.transformer import (
+        chunked_weighted_cross_entropy, weighted_cross_entropy)
+
+    b, t, d, v = 2, 50, 16, 37
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = jax.random.normal(k1, (b, t, d))
+    head = jax.random.normal(k2, (d, v)) * 0.3
+    labels = jax.random.randint(k3, (b, t), 0, v)
+    labels = labels.at[:, -7:].set(-100)  # ignore tail
+    cw = jnp.ones(v).at[3:9].set(1.2)
+    sw = jnp.asarray([1.0, 0.7])
+
+    def plain(hidden, head):
+        logits = (hidden @ head).astype(jnp.float32)
+        return weighted_cross_entropy(logits, labels, cw,
+                                      label_smoothing=0.1,
+                                      sample_weights=sw)[0]
+
+    def chunked(hidden, head):
+        return chunked_weighted_cross_entropy(hidden, head, labels, cw,
+                                              label_smoothing=0.1,
+                                              sample_weights=sw, chunk=16)[0]
+
+    lp, lc = float(plain(hidden, head)), float(chunked(hidden, head))
+    np.testing.assert_allclose(lc, lp, rtol=1e-6)
+
+    gp = jax.grad(plain, argnums=(0, 1))(hidden, head)
+    gc = jax.grad(chunked, argnums=(0, 1))(hidden, head)
+    for a, r, name in zip(gc, gp, ("hidden", "head")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-5,
+                                   atol=1e-6, err_msg=name)
+
+    _, n_valid, n_correct = chunked_weighted_cross_entropy(
+        hidden, head, labels, cw, label_smoothing=0.1, sample_weights=sw,
+        chunk=16)
+    logits = (hidden @ head).astype(jnp.float32)
+    assert int(n_valid) == int((labels != -100).sum())
+    assert int(n_correct) == int(((jnp.argmax(logits, -1) == labels)
+                                  & (labels != -100)).sum())
+
+
+def test_train_step_chunked_loss_matches_plain():
+    """Trainer with loss_chunk_size produces the same loss/accuracy metrics
+    as the plain path on the tiny config."""
+    import jax
+    import numpy as np
+    from beatheritage_tpu.config import TrainConfig, load_config
+    from beatheritage_tpu.models import ModelDims, init_params
+    from beatheritage_tpu.tokenizer import Tokenizer
+    from beatheritage_tpu.train.train_loop import Trainer
+
+    metrics_by_mode = {}
+    for chunk in (0, 8):
+        cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+            "optim.grad_acc=1", "optim.batch_size=8",
+            "gradient_checkpointing=false", "precision=f32",
+            f"loss_chunk_size={chunk}"])
+        tok = Tokenizer(cfg)
+        dims = ModelDims.from_config(cfg, tok)
+        params = init_params(jax.random.PRNGKey(0), dims)
+        trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
+        n = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+        rng = np.random.default_rng(0)
+        batch = {
+            "frames": rng.standard_normal((8, n)).astype(np.float32),
+            "decoder_input_ids": np.ones((8, 20), np.int32),
+            "labels": np.full((8, 20), 5, np.int32),
+        }
+        _, metrics = trainer.train_step(trainer.state, batch)
+        metrics_by_mode[chunk] = {k: float(v) for k, v in metrics.items()}
+
+    np.testing.assert_allclose(metrics_by_mode[8]["loss"],
+                               metrics_by_mode[0]["loss"], rtol=1e-5)
+    np.testing.assert_allclose(metrics_by_mode[8]["accuracy"],
+                               metrics_by_mode[0]["accuracy"], rtol=1e-6)
