@@ -64,9 +64,18 @@ def main(argv=None) -> int:
                                           batch_sharding(mesh)),
                    out_shardings=(replicated(mesh), replicated(mesh), None, None))
 
-    dataset = ClassifierDataset(cfg.data, parser_obj, tokenizer)
+    def epochs():
+        """ClassifierDataset is one pass over the corpus; cycle fresh
+        epochs (new window-sampling seed each) until total_steps."""
+        epoch = 0
+        while True:
+            ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
+                                   seed=cfg.seed + epoch)
+            yield from batch_iterator(ds, cfg.optim.batch_size)
+            epoch += 1
+
     t0 = time.time()
-    for i, batch in enumerate(batch_iterator(dataset, cfg.optim.batch_size)):
+    for i, batch in enumerate(epochs()):
         if i >= cfg.optim.total_steps:
             break
         params, opt_state, loss, acc = step(params, opt_state, batch)
