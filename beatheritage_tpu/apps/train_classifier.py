@@ -64,14 +64,24 @@ def main(argv=None) -> int:
                                           batch_sharding(mesh)),
                    out_shardings=(replicated(mesh), replicated(mesh), None, None))
 
+    from ..data.dataset import load_mmrs_metadata as _load_md  # noqa: PLC0415
+    md = _load_md(cfg.data.train_dataset_path)
+
     def epochs():
         """ClassifierDataset is one pass over the corpus; cycle fresh
         epochs (new window-sampling seed each) until total_steps."""
         epoch = 0
         while True:
             ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
-                                   seed=cfg.seed + epoch)
-            yield from batch_iterator(ds, cfg.optim.batch_size)
+                                   metadata=md, seed=cfg.seed + epoch)
+            produced = False
+            for batch in batch_iterator(ds, cfg.optim.batch_size):
+                produced = True
+                yield batch
+            if not produced:
+                raise RuntimeError(
+                    "classifier dataset produced no batches — check "
+                    "train_dataset_path / batch_size vs corpus size")
             epoch += 1
 
     t0 = time.time()

@@ -1036,33 +1036,36 @@ class Processor:
         (reference processor.py:366 generate_parallel)."""
         windows, window_times = sequences[0], sequences[1]
         n = len(windows)
+        # in-context sequences don't depend on the out-context loop: prep once
+        in_seqs = [self.prepare_context_sequences(
+            in_data, float(window_times[w]), False, req_special)
+            for w in range(n)]
+        song_positions = [
+            self._window_song_position(float(window_times[w]), song_length)[0]
+            for w in range(n)]
         for i, context in enumerate(out_data):
             if context["finished"]:
                 continue
             if verbose:
                 print(f"Generating {context['context_type'].value}")
-            prompts, uncond_prompts, song_positions = [], [], []
+            prompts, uncond_prompts = [], []
             for w in range(n):
                 frame_time = float(window_times[w])
                 cp, up = self.get_prompts(
-                    self.prepare_context_sequences(in_data, frame_time, False,
-                                                   req_special),
+                    in_seqs[w],
                     self.prepare_context_sequences(out_data[:i + 1], frame_time,
                                                    True, req_special))
                 prompts.append(cp)
                 uncond_prompts.append(up)
-                song_positions.append(
-                    self._window_song_position(frame_time, song_length)[0])
 
             max_p = max(len(p) for p in prompts)
             if self.cfg_scale > 1:
                 max_p = max(max_p, max(len(p) for p in uncond_prompts))
 
-            def stack(ps, width=None):
-                width = width or max_p
-                arr = np.full((len(ps), width), self.tokenizer.pad_id, np.int32)
+            def stack(ps, max_p=max_p):
+                arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
                 for j, p in enumerate(ps):
-                    arr[j, width - len(p):] = p
+                    arr[j, max_p - len(p):] = p
                 return arr
 
             cond_arr = stack(prompts)

@@ -176,11 +176,8 @@ def build_optimizer(optim_cfg, schedule) -> optax.GradientTransformation:
                         # second moment stays f32 (sqrt of tiny values)
                         mu_dtype=jnp.bfloat16 if mom_bf16 else None),
         )
-        mom_dtype = (jnp.bfloat16
-                     if getattr(optim_cfg, "muon_momentum_dtype", "f32") == "bf16"
-                     else None)
         muon_part = optax.chain(
-            muon_transform(momentum_dtype=mom_dtype),
+            muon_transform(momentum_dtype=jnp.bfloat16 if mom_bf16 else None),
             optax.scale_by_schedule(schedule),
         )
         core = optax.multi_transform(

@@ -221,8 +221,8 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def make_eval_step(dims: ModelDims, cfg, use_flash: bool = False,
-                   dtype=jnp.bfloat16):
-    loss_fn = make_loss_fn(dims, cfg, use_flash, dtype)
+                   dtype=jnp.bfloat16, backbone=None):
+    loss_fn = make_loss_fn(dims, cfg, use_flash, dtype, backbone=backbone)
 
     @jax.jit
     def eval_step(params, batch):
