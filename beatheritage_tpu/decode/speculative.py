@@ -14,8 +14,10 @@ timeshift bias, conditional temperature, lookback bias, top-k/top-p) at
 every drafted position, with the cumulative rule state (seen set, last
 timeshift, last pre-lookback scores) carried along the draft path:
 
-- greedy (do_sample=False): accept while draft == argmax — bit-identical
-  token streams to the plain engine;
+- greedy (do_sample=False): accept while draft == argmax — identical
+  token streams to the plain engine up to numerics (exact in f32/tests;
+  under bf16 the K-position verification matmul reduces in a different
+  order than single-token steps, so near-tie argmaxes can flip);
 - sampling: point-mass speculative sampling (Leviathan et al.): accept
   draft d with probability p(d); the committed prefix is distributed
   exactly as ancestral sampling from p.
