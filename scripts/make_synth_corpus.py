@@ -8,16 +8,23 @@ the model must learn:
 - audio: kick on every beat, snare on 2/4, hi-hats + louder mix in chorus
   (kiai) sections, melodic tones — so onset times, BPM, section boundaries,
   and density are all recoverable from the mel spectrogram
+- songs may change BPM mid-song at section boundaries (uninherited timing
+  points with integer BPM), so the redline-splitting timing inference and
+  super-timing paths (reference postprocessor.py:656-874,
+  super_timing_generator.py) see real variable-BPM training signal
 - beatmaps: placed on the beat grid by per-mapper style presets (density,
-  spacing, slider usage, flow), modulated by section and difficulty; kiai
-  green lines and SV changes at section boundaries; hitsound patterns tied
-  to the beat position
+  spacing, slider usage, streams, flow, hitsound habits), modulated by
+  section and difficulty; kiai green lines and SV changes at section
+  boundaries; hitsound patterns tied to the beat position
+- 48 procedurally generated mapper styles (distinct enough that a mapper
+  classifier has real signal to learn — the FID feature extractor's quality
+  depends on it)
 
 Layout matches what data/dataset.py::load_mmrs_metadata expects:
 <root>/metadata.parquet + <root>/data/<folder>/{audio.wav,*.osu}.
 
 Usage:
-    python scripts/make_synth_corpus.py --out /tmp/synth_mmrs --sets 150
+    python scripts/make_synth_corpus.py --out /tmp/synth_mmrs --sets 200
 """
 
 from __future__ import annotations
@@ -36,20 +43,39 @@ SR = 16000
 PLAYFIELD = np.array([512.0, 384.0])
 MARGIN = 24.0
 
-# mapper style presets: (density multiplier, slider probability, mean spacing
-# per star, angle jitter rad, descriptor tags)
-STYLES = [
-    dict(uid=101, density=1.0, slider_p=0.25, spacing=28.0, jitter=0.5,
-         tags=["jump aim"]),
-    dict(uid=102, density=0.8, slider_p=0.55, spacing=20.0, jitter=0.25,
-         tags=["flow aim", "sliders"]),
-    dict(uid=103, density=1.2, slider_p=0.15, spacing=34.0, jitter=0.9,
-         tags=["jump aim", "aim control"]),
-    dict(uid=104, density=0.7, slider_p=0.40, spacing=16.0, jitter=0.2,
-         tags=["simple", "clean"]),
-    dict(uid=105, density=1.0, slider_p=0.35, spacing=24.0, jitter=0.6,
-         tags=["flow aim"]),
+TAG_POOL = [
+    ["jump aim"], ["flow aim", "sliders"], ["jump aim", "aim control"],
+    ["simple", "clean"], ["flow aim"], ["tech"], ["streams"],
+    ["old style"], ["symmetrical"], ["jump aim", "tech"],
+    ["streams", "stamina"], ["sliders", "tech"], ["clean"],
+    ["aim control", "flow aim"], ["simple"], ["jump aim", "streams"],
 ]
+
+
+def make_styles(n: int = 48, seed: int = 7) -> list[dict]:
+    """Procedural mapper-style presets (VERDICT r2 item 7: 12 -> ~48).
+
+    Each style differs along axes a classifier can actually recover from the
+    produced maps: density, spacing, slider usage, stream runs, angle jitter,
+    combo length, and hitsound habit.
+    """
+    rng = np.random.default_rng(seed)
+    styles = []
+    for k in range(n):
+        styles.append(dict(
+            uid=101 + k,
+            density=float(rng.uniform(0.6, 1.35)),
+            slider_p=float(rng.uniform(0.08, 0.60)),
+            spacing=float(rng.uniform(14.0, 36.0)),
+            jitter=float(rng.uniform(0.15, 1.0)),
+            stream_p=float(rng.choice([0.0, 0.0, 0.08, 0.2])),
+            nc_every=int(rng.choice([4, 8, 8, 16])),
+            hs_whistle=bool(rng.random() < 0.3),
+            spinner_p=float(rng.uniform(0.005, 0.03)),
+            tags=TAG_POOL[k % len(TAG_POOL)],
+        ))
+    return styles
+
 
 OSU_TEMPLATE = """osu file format v14
 
@@ -91,20 +117,43 @@ SliderTickRate:1
 """
 
 
-def synth_audio(rng, bpm: float, n_measures: int, sections: list[str],
-                offset_ms: float) -> np.ndarray:
+def plan_bpms(rng, n_measures: int, base_bpm: float,
+              change_prob: float) -> np.ndarray:
+    """Per-measure integer BPM with 0-2 redline changes at 4-measure bounds."""
+    bpms = np.full(n_measures, float(int(base_bpm)))
+    n_changes = 0
+    if rng.random() < change_prob:
+        n_changes = 1 + int(rng.random() < 0.35)
+    bounds = [b for b in range(4, n_measures - 3, 4)]
+    rng.shuffle(bounds)
+    for b in sorted(bounds[:n_changes]):
+        factor = float(rng.choice([0.75, 0.8, 1.2, 1.25, 1.5]))
+        new = float(int(np.clip(bpms[b - 1] * factor, 60, 240)))
+        bpms[b:] = new
+    return bpms
+
+
+def half_beat_grid(bpms: np.ndarray, offset_ms: float) -> np.ndarray:
+    """Times (ms) of every half-beat: shape (n_measures*8 + 1,).
+
+    Entry i is the start of half-beat i; measure m covers entries 8m..8m+7.
+    """
+    halves = np.repeat(60000.0 / bpms / 2.0, 8)
+    return offset_ms + np.concatenate([[0.0], np.cumsum(halves)])
+
+
+def synth_audio(rng, half_times: np.ndarray, bpms: np.ndarray,
+                sections: list[str]) -> np.ndarray:
     """Render a click-track song: kick/snare/hat + melody, section-dependent."""
-    beat_s = 60.0 / bpm
-    total_s = offset_ms / 1000.0 + n_measures * 4 * beat_s + 1.0
+    n_measures = len(sections)
+    total_s = half_times[-1] / 1000.0 + 1.0
     n = int(total_s * SR)
     audio = np.zeros(n, np.float32)
-    t_all = np.arange(n) / SR
 
-    # pad-free helper to add a burst at time t
-    def add(t_s, sig, gain):
-        i = int(t_s * SR)
+    def add(t_ms, sig, gain):
+        i = int(t_ms / 1000.0 * SR)
         j = min(i + len(sig), n)
-        if i < n:
+        if 0 <= i < n:
             audio[i:j] += gain * sig[: j - i]
 
     kick_t = np.arange(int(0.09 * SR)) / SR
@@ -121,24 +170,25 @@ def synth_audio(rng, bpm: float, n_measures: int, sections: list[str],
 
     for m in range(n_measures):
         sec = sections[m]
+        beat_ms = 60000.0 / bpms[m]
         loud = {"intro": 0.4, "verse": 0.7, "kiai": 1.0, "outro": 0.4}[sec]
         for b in range(4):
-            t0 = offset_ms / 1000.0 + (m * 4 + b) * beat_s
+            t0 = half_times[m * 8 + b * 2]
             add(t0, kick, 0.9 * loud)
             if b in (1, 3):
                 add(t0, snare, 0.5 * loud)
             if sec == "kiai":
-                add(t0 + beat_s / 2, hat, 0.45)
+                add(t0 + beat_ms / 2, hat, 0.45)
                 add(t0, hat, 0.3)
             elif sec == "verse" and b in (1, 3):
-                add(t0 + beat_s / 2, hat, 0.25)
+                add(t0 + beat_ms / 2, hat, 0.25)
         # melody: one tone per beat pair
         for b in (0, 2):
-            t0 = offset_ms / 1000.0 + (m * 4 + b) * beat_s
+            t0 = half_times[m * 8 + b * 2]
             f = base_f * 2 ** (scale[rng.integers(0, len(scale))] / 12)
             if sec == "kiai":
                 f *= 2
-            dur = int(1.6 * beat_s * SR)
+            dur = int(1.6 * beat_ms / 1000.0 * SR)
             tt = np.arange(dur) / SR
             tone = (np.sin(2 * np.pi * f * tt) + 0.3 * np.sin(4 * np.pi * f * tt))
             tone *= np.minimum(1, tt * 30) * np.exp(-tt * 2)
@@ -152,16 +202,19 @@ def _fmt(x: float) -> int:
     return int(round(x))
 
 
-def make_std_map(rng, style, diff_stars, bpm, n_measures, sections,
-                 offset_ms) -> tuple[str, str]:
+def make_std_map(rng, style, diff_stars, half_times: np.ndarray,
+                 bpms: np.ndarray, sections: list[str]) -> tuple[str, str]:
     """Generate timing points + hit objects for a std map."""
-    beat_ms = 60000.0 / bpm
-    sv_base = 1.0
-    tp = [f"{_fmt(offset_ms)},{beat_ms:.6f},4,2,0,60,1,0"]
-    # kiai/SV green lines at section boundaries
+    n_measures = len(sections)
+    offset_ms = half_times[0]
+    tp = [f"{_fmt(offset_ms)},{60000.0 / bpms[0]:.6f},4,2,0,60,1,0"]
+    # redlines at BPM changes; kiai/SV green lines at section boundaries
     for m in range(1, n_measures):
+        t = half_times[m * 8]
+        if bpms[m] != bpms[m - 1]:
+            kiai = 1 if sections[m] == "kiai" else 0
+            tp.append(f"{_fmt(t)},{60000.0 / bpms[m]:.6f},4,2,0,60,1,{kiai}")
         if sections[m] != sections[m - 1]:
-            t = offset_ms + m * 4 * beat_ms
             kiai = 1 if sections[m] == "kiai" else 0
             sv = 1.2 if sections[m] == "kiai" else 1.0
             tp.append(f"{_fmt(t)},{-100.0 / sv:.6f},4,2,0,{70 if kiai else 55},0,{kiai}")
@@ -171,31 +224,40 @@ def make_std_map(rng, style, diff_stars, bpm, n_measures, sections,
     pos = rng.uniform([160, 120], [352, 264])
     angle = rng.uniform(0, 2 * np.pi)
     objects = []
-    half = beat_ms / 2
     grid_len = n_measures * 8  # half-beats
+    nc_every = style["nc_every"]
+    stream_left = 0
     i = 0
     while i < grid_len:
         m = i // 8
         sec = sections[m]
+        beat_ms = 60000.0 / bpms[m]
+        half = beat_ms / 2
         sec_mult = {"intro": 0.45, "verse": 0.8, "kiai": 1.15, "outro": 0.45}[sec]
         on_beat = i % 2 == 0
         p = density * sec_mult * (1.0 if on_beat else 0.55)
-        if rng.random() > p:
+        if stream_left <= 0 and rng.random() > p:
             i += 1
             continue
-        t = offset_ms + i * half
-        new_combo = 4 if i % 8 == 0 else 0
-        # hitsounds: clap on beats 2/4, finish at section starts
+        if stream_left <= 0 and on_beat and sec == "kiai" and \
+                rng.random() < style["stream_p"]:
+            stream_left = int(rng.integers(3, 8))
+        t = half_times[i]
+        new_combo = 4 if i % nc_every == 0 else 0
+        # hitsounds: clap/whistle on beats 2/4, finish at section starts
         hs = 0
         if i % 8 in (2, 6):
-            hs |= 8  # clap
+            hs |= 2 if style["hs_whistle"] else 8
         if i % 32 == 0 and sec == "kiai":
             hs |= 4  # finish
-        # flow: turn by style jitter, sometimes sharp
-        angle += rng.normal(0, style["jitter"])
-        if rng.random() < 0.12:
+        # flow: turn by style jitter, sometimes sharp; streams flow smoothly
+        in_stream = stream_left > 0
+        angle += rng.normal(0, 0.15 if in_stream else style["jitter"])
+        if not in_stream and rng.random() < 0.12:
             angle += np.pi * rng.uniform(0.6, 1.0)
         dist = max(10.0, rng.normal(spacing, spacing * 0.2))
+        if in_stream:
+            dist = min(dist, 18.0 + 4.0 * diff_stars)
         step = np.array([np.cos(angle), np.sin(angle)]) * dist
         nxt = pos + step
         # reflect into the playfield
@@ -208,7 +270,11 @@ def make_std_map(rng, style, diff_stars, bpm, n_measures, sections,
         x, y = _fmt(pos[0]), _fmt(pos[1])
 
         sv = 1.2 if sec == "kiai" else 1.0
-        if rng.random() < style["slider_p"] and i + 2 <= grid_len:
+        if in_stream:
+            objects.append(f"{x},{y},{_fmt(t)},{1 | new_combo},{hs},0:0:0:0:")
+            stream_left -= 1
+            i += 1
+        elif rng.random() < style["slider_p"] and i + 2 <= grid_len:
             beats = 1.0 if (on_beat and rng.random() < 0.7) else 0.5
             length = beats * 100.0 * 1.4 * sv
             end_angle = angle + rng.normal(0, 0.4)
@@ -222,7 +288,7 @@ def make_std_map(rng, style, diff_stars, bpm, n_measures, sections,
                 f"L|{_fmt(end[0])}:{_fmt(end[1])},1,{length:.2f}")
             pos = end
             i += int(beats * 2)
-        elif rng.random() < 0.02 and i % 8 == 0:
+        elif rng.random() < style["spinner_p"] and i % 8 == 0:
             t_end = t + 4 * half
             objects.append(f"256,192,{_fmt(t)},{8 | new_combo},{hs},{_fmt(t_end)}")
             pos = rng.uniform([160, 120], [352, 264])
@@ -236,26 +302,33 @@ def make_std_map(rng, style, diff_stars, bpm, n_measures, sections,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/synth_mmrs")
-    ap.add_argument("--sets", type=int, default=150)
+    ap.add_argument("--sets", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--styles", type=int, default=48)
     ap.add_argument("--min-measures", type=int, default=16)
     ap.add_argument("--max-measures", type=int, default=28)
+    ap.add_argument("--bpm-change-prob", type=float, default=0.5,
+                    help="probability a song contains >=1 mid-song redline")
     args = ap.parse_args()
 
     import pandas as pd
 
+    styles = make_styles(args.styles)
     root = Path(args.out)
     (root / "data").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     rows = []
     bid = 1000
+    n_redline_songs = 0
     for sid in range(1, args.sets + 1):
         folder = f"set{sid:04d}"
         d = root / "data" / folder
         d.mkdir(exist_ok=True)
-        bpm = float(rng.integers(80, 200))
         n_measures = int(rng.integers(args.min_measures, args.max_measures + 1))
         offset_ms = float(rng.integers(40, 400))
+        bpms = plan_bpms(rng, n_measures, float(rng.integers(80, 200)),
+                         args.bpm_change_prob)
+        n_redline_songs += int(len(np.unique(bpms)) > 1)
         # section plan in 4-measure blocks: intro verse kiai verse kiai outro...
         sections = []
         plan = ["intro", "verse", "kiai", "verse", "kiai", "outro"]
@@ -266,17 +339,18 @@ def main() -> int:
             k += 1
         sections = sections[:n_measures]
 
-        audio = synth_audio(rng, bpm, n_measures, sections, offset_ms)
+        half_times = half_beat_grid(bpms, offset_ms)
+        audio = synth_audio(rng, half_times, bpms, sections)
         save_wav(d / "audio.wav", audio, SR)
 
-        style = STYLES[rng.integers(0, len(STYLES))]
+        style = styles[rng.integers(0, len(styles))]
         n_diffs = int(rng.integers(2, 4))
         year = int(rng.integers(2012, 2024))
         for di in range(n_diffs):
             stars = 1.8 + di * 1.1 + rng.uniform(-0.2, 0.2)
             version = ["Easy", "Normal", "Hard", "Insane"][di]
-            tp, objects = make_std_map(rng, style, stars, bpm, n_measures,
-                                       sections, offset_ms)
+            tp, objects = make_std_map(rng, style, stars, half_times, bpms,
+                                       sections)
             fname = f"map{bid}.osu"
             (d / fname).write_text(OSU_TEMPLATE.format(
                 mode=0, sid=sid, uid=style["uid"], version=version, bid=bid,
@@ -296,7 +370,9 @@ def main() -> int:
 
     df = pd.DataFrame(rows)
     df.to_parquet(root / "metadata.parquet")
-    print(f"wrote {len(df)} beatmaps across {args.sets} sets to {root}")
+    print(f"wrote {len(df)} beatmaps across {args.sets} sets to {root} "
+          f"({n_redline_songs} songs with mid-song BPM changes, "
+          f"{len(styles)} mapper styles)")
     return 0
 
 
