@@ -19,8 +19,10 @@ timeshift, last pre-lookback scores) carried along the draft path:
   under bf16 the K-position verification matmul reduces in a different
   order than single-token steps, so near-tie argmaxes can flip);
 - sampling: point-mass speculative sampling (Leviathan et al.): accept
-  draft d with probability p(d); the committed prefix is distributed
-  exactly as ancestral sampling from p.
+  draft d with probability p(d); on rejection the residual resample
+  (p with d's mass removed) is carried forward and committed as the
+  next token, so the committed prefix is distributed exactly as
+  ancestral sampling from p.
 
 Batch rows commit the *minimum* accepted length (the KV cache advances one
 global slot pointer, keeping cache writes as cheap dynamic_update_slices);
@@ -118,7 +120,10 @@ def prompt_lookup_draft(tokens, step, k: int, pad_id: int):
     start = best + 2  # first position after the matched n-gram's end
     gather = jnp.clip(start[:, None] + jnp.arange(k)[None, :], 0, t_max - 1)
     draft = tokens[jnp.arange(b)[:, None], gather]
-    return jnp.where(found[:, None], draft, pad_id)
+    # positions > step hold the previous iteration's uncommitted draft
+    # tokens (the full-chunk write at commit time) — never copy those
+    found = found[:, None] & (gather <= step)
+    return jnp.where(found, draft, pad_id)
 
 
 @functools.partial(
@@ -179,6 +184,14 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
         "has_ts": has_ts,
         "seen": seen,
         "key": key,
+        # rejection-boundary carry: rows whose accepted count equals the
+        # global commit count g rejected exactly at the commit boundary;
+        # their residual resample (p with the draft's mass removed) IS the
+        # next token under exact speculative sampling and must be committed
+        # instead of a fresh full-p draw (which would bias toward the
+        # drafted token: p(d) + (1-p(d))p(d) instead of p(d))
+        "forced_token": jnp.zeros((b,), jnp.int32),
+        "forced_valid": jnp.zeros((b,), bool),
     }
 
     def rule_state(s):
@@ -220,6 +233,7 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
         logits0, pre_lb0 = _rule_chain(raw0, st0, prev1, prev3, settings,
                                        tables, timed_mask, lookback_mask)
         t0, _ = sample_from(keys[1], logits0)
+        t0 = jnp.where(s["forced_valid"], s["forced_token"], t0)
         t0 = jnp.where(s["finished"], tables.pad_id, t0)
         fin0 = s["finished"] | eos_mask[t0]
         st1 = _advance_rule_state(st0, t0, pre_lb0, tables, b)
@@ -257,7 +271,7 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
             logits_i, pre_lb_i = _rule_chain(
                 vfold[:, i], st, prev1_i, prev3_i, settings, tables,
                 timed_mask, lookback_mask)
-            _, ok = sample_from(sub, logits_i, draft=d_i)
+            tok_i, ok = sample_from(sub, logits_i, draft=d_i)
             # finished rows never constrain global acceptance
             ok = ok | fin
             accepting = accepting & ok
@@ -265,7 +279,7 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
             fin_next = fin | (eos_mask[d_commit] & accepting)
             st_next = _advance_rule_state(st, d_commit, pre_lb_i, tables, b)
             out = {"accept": accepting, "fin": fin_next,
-                   "d_commit": d_commit,
+                   "d_commit": d_commit, "resample": tok_i,
                    **{k: st_next[k] for k in st_next}}
             return (st_next, accepting, fin_next, key), out
 
@@ -297,7 +311,21 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
         commit_m = jnp.tile(commit_chunk, (2, 1)) if settings.cfg_on else commit_chunk
         tokens = jax.lax.dynamic_update_slice(tokens, commit_m, (0, step))
 
+        # rejection-boundary carry (see state init): a row with acc == g < K
+        # rejected exactly at the commit boundary; its residual resample from
+        # scan index g is the exact next token (the next iteration's rule
+        # chain at that row reproduces the same logits, so committing the
+        # resample realizes accept*delta_d + (1-p_d)*residual = p)
+        if settings.do_sample:
+            forced_token = scan_out["resample"][jnp.clip(g, 0, kd - 1)]
+            forced_valid = (acc_counts == g) & (g < kd) & ~fin_c
+        else:
+            forced_token = s["forced_token"]
+            forced_valid = jnp.zeros((b,), bool)
+
         return {
+            "forced_token": forced_token,
+            "forced_valid": forced_valid,
             "tokens": tokens,
             "cache": cache,
             "pending": jax.lax.dynamic_index_in_dim(vlogits, g, axis=1,
@@ -329,6 +357,7 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
                                      timed_mask, lookback_mask)
         key, sub = jax.random.split(s["key"])
         token, _ = sample_from(sub, logits)
+        token = jnp.where(s["forced_valid"], s["forced_token"], token)
         token = jnp.where(s["finished"], tables.pad_id, token)
         finished = s["finished"] | eos_mask[token]
         st_next = _advance_rule_state(st, token, pre_lb, tables, b)
@@ -342,6 +371,8 @@ def generate_speculative(params, dims: ModelDims, settings: SamplerSettings,
             "tokens": tokens, "cache": cache, "pending": step_logits[:, -1],
             "step": step + 1, "pos_next": s["pos_next"] + 1,
             "finished": finished, "key": key,
+            "forced_token": s["forced_token"],
+            "forced_valid": jnp.zeros((b,), bool),
             **{k: st_next[k] for k in st_next},
         }
 
