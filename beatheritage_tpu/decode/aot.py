@@ -23,14 +23,18 @@ things worse than the status quo.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import pickle
 from pathlib import Path
 
 import jax
 
+logger = logging.getLogger(__name__)
+
 _LOADED: dict[str, object] = {}  # digest -> loaded executable (per process)
 _SIG_MEMO: dict = {}  # cheap call signature -> executable (skip re-lowering)
+_FALLBACKS = {"count": 0}  # exe-path failures routed through plain jit
 
 
 def _call_signature(jitted_fn, args, kwargs):
@@ -81,7 +85,10 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
     if sig is not None and sig in _SIG_MEMO:
         try:
             return _SIG_MEMO[sig](*args, **kwargs)
-        except Exception:
+        except TypeError:
+            # argument-convention mismatch only; anything else (OOM,
+            # sharding, donation) must surface, not silently re-run
+            _note_fallback("memoized executable rejected the call convention")
             return jitted_fn(*args, **kwargs)
 
     try:
@@ -118,6 +125,14 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
         _SIG_MEMO[sig] = exe
     try:
         return exe(*args, **kwargs)
-    except Exception:
-        # argument-convention mismatch: plain call
+    except TypeError:
+        # argument-convention mismatch (e.g. a deserialized exe whose
+        # flattening differs from this call site): plain call
+        _note_fallback("executable rejected the call convention")
         return jitted_fn(*args, **kwargs)
+
+
+def _note_fallback(reason: str) -> None:
+    _FALLBACKS["count"] += 1
+    logger.warning("aot_call fallback #%d to plain jit: %s",
+                   _FALLBACKS["count"], reason)

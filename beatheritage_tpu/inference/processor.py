@@ -1029,69 +1029,89 @@ class Processor:
 
     def _generate_parallel(self, sequences, in_data, out_data, cond,
                            req_special, song_length, verbose):
-        """All windows batched per out-context. Contexts still run in order
-        (like _generate_sequential and the reference's per-context
-        model_generate loop): each context's decode stops at ITS context_eos
-        and its windows' tokens feed the next context's decoder prefix
-        (reference processor.py:366 generate_parallel)."""
+        """One batched decode for ALL out-contexts: prompts end at the first
+        context's sos/class, the model emits every context in one stream
+        ([timing]..[/timing][kiai]..[/kiai][map]..  eos — the training-target
+        layout, dataset.py add_context), and each context's tokens are split
+        from prompt+continuation by its context sos/eos — the reference
+        protocol (processor.py:366 generate_parallel, :726
+        _get_token_context). The decode stops only at the global EOS
+        (context_type=None): stopping at the first context's eos is what
+        truncated the stream to one context before commit 33084f7.
+        Divergence from the reference: finished (given) contexts are skipped
+        at split time so given timing/kiai is never re-added from the
+        prompt; without add_out_context_types only the single head context
+        is split out, as in the reference."""
         windows, window_times = sequences[0], sequences[1]
         n = len(windows)
-        # in-context sequences don't depend on the out-context loop: prep once
-        in_seqs = [self.prepare_context_sequences(
-            in_data, float(window_times[w]), False, req_special)
-            for w in range(n)]
         song_positions = [
             self._window_song_position(float(window_times[w]), song_length)[0]
             for w in range(n)]
-        for i, context in enumerate(out_data):
-            if context["finished"]:
-                continue
-            if verbose:
-                print(f"Generating {context['context_type'].value}")
-            prompts, uncond_prompts = [], []
-            for w in range(n):
-                frame_time = float(window_times[w])
-                cp, up = self.get_prompts(
-                    in_seqs[w],
-                    self.prepare_context_sequences(out_data[:i + 1], frame_time,
-                                                   True, req_special))
-                prompts.append(cp)
-                uncond_prompts.append(up)
+        prompts, uncond_prompts = [], []
+        for w in range(n):
+            frame_time = float(window_times[w])
+            cp, up = self.get_prompts(
+                self.prepare_context_sequences(in_data, frame_time, False,
+                                               req_special),
+                self.prepare_context_sequences(out_data[:1], frame_time, True,
+                                               req_special))
+            prompts.append(cp)
+            uncond_prompts.append(up)
 
-            max_p = max(len(p) for p in prompts)
-            if self.cfg_scale > 1:
-                max_p = max(max_p, max(len(p) for p in uncond_prompts))
+        max_p = max(len(p) for p in prompts)
+        if self.cfg_scale > 1:
+            max_p = max(max_p, max(len(p) for p in uncond_prompts))
 
-            def stack(ps, max_p=max_p):
-                arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
-                for j, p in enumerate(ps):
-                    arr[j, max_p - len(p):] = p
-                return arr
+        def stack(ps, max_p=max_p):
+            arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
+            for j, p in enumerate(ps):
+                arr[j, max_p - len(p):] = p
+            return arr
 
-            cond_arr = stack(prompts)
-            uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
+        cond_arr = stack(prompts)
+        uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
 
-            bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
-            all_tokens: list[np.ndarray] = []
-            iterator = range(0, n, bsz)
-            if verbose:
-                from tqdm import tqdm  # noqa: PLC0415
-                iterator = tqdm(list(iterator))
-            for start in iterator:
-                stop = min(start + bsz, n)
-                wcond = {k: np.repeat(v, stop - start, axis=0)
-                         for k, v in cond.items()}
-                if self.do_song_position_embed:
-                    wcond["song_position"] = np.stack(song_positions[start:stop])
-                results = self._dispatch(
-                    windows[start:stop], wcond, cond_arr[start:stop],
-                    uncond_arr[start:stop] if uncond_arr is not None else None,
-                    0.0, 0.0, context["context_type"])
-                all_tokens.extend(results)
+        bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
+        all_tokens: list[np.ndarray] = []
+        iterator = range(0, n, bsz)
+        if verbose:
+            from tqdm import tqdm  # noqa: PLC0415
+            iterator = tqdm(list(iterator))
+        for start in iterator:
+            stop = min(start + bsz, n)
+            wcond = {k: np.repeat(v, stop - start, axis=0)
+                     for k, v in cond.items()}
+            if self.do_song_position_embed:
+                wcond["song_position"] = np.stack(song_positions[start:stop])
+            results = self._dispatch(
+                windows[start:stop], wcond, cond_arr[start:stop],
+                uncond_arr[start:stop] if uncond_arr is not None else None,
+                0.0, 0.0, None)
+            all_tokens.extend(results)
 
-            for w, seq in enumerate(all_tokens):
+        tok = self.tokenizer
+        for w, seq in enumerate(all_tokens):
+            frame_time = float(window_times[w])
+            full = np.concatenate(
+                [np.asarray(prompts[w], np.int32),
+                 np.asarray(seq, np.int32).reshape(-1)])
+            if self.add_out_context_types:
+                for context in out_data:
+                    if context["finished"]:
+                        continue
+                    ct = context["context_type"]
+                    starts = np.nonzero(full == tok.context_sos[ct])[0]
+                    if len(starts) == 0:
+                        continue  # model never opened this context
+                    s = int(starts[0]) + 1
+                    ends = np.nonzero(full[s:] == tok.context_eos[ct])[0]
+                    e = s + int(ends[0]) if len(ends) else len(full)
+                    self.add_predicted_tokens_to_context(
+                        context, full[s:e], frame_time)
+            else:
+                s, e = self._get_token_context(full, tok.sos_id, tok.eos_id)
                 self.add_predicted_tokens_to_context(
-                    context, seq, float(window_times[w]))
+                    out_data[0], full[s:e], frame_time)
 
     @staticmethod
     def _get_token_context(tokens, sos, eos):

@@ -189,10 +189,13 @@ def test_data_parallel_windows_matches_single_device(args, wav):
 
 
 def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
-    """Parallel mode runs one decode per out-context (in template order) and
-    must file each decode's tokens under ITS context — regression for the
-    bug where only out_data[0] was decoded and later contexts absorbed its
-    token stream (empty maps with timing-only events)."""
+    """Parallel mode runs ONE decode for all out-contexts (reference
+    processor.py:366 generate_parallel): the stream carries every context
+    between its context sos/eos markers, the decode stops only at the
+    global EOS (context_type=None), and the split must file each context's
+    tokens under ITS context — regression for the bug where the decode
+    stopped at the first context's eos (empty maps with timing-only
+    events)."""
     import dataclasses
     from beatheritage_tpu.inference.pipeline import build_configs
     from beatheritage_tpu.inference.processor import Processor
@@ -210,15 +213,17 @@ def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
     def fake_dispatch(frames, wcond, cond_prompt, uncond_prompt,
                       lookback_time, lookahead_time, context_type):
         seen_contexts.append(context_type)
-        if context_type == ContextType.TIMING:
-            toks = [tok.encode(Event(EventType.TIME_SHIFT, 1)),
-                    tok.encode(Event(EventType.BEAT, 0)),
-                    tok.context_eos[ContextType.TIMING]]
-        else:
-            toks = [tok.encode(Event(EventType.TIME_SHIFT, 1)),
-                    tok.encode(Event(EventType.SNAPPING, 4)),
-                    tok.encode(Event(EventType.CIRCLE, 0)),
-                    tok.context_eos[ContextType.MAP]]
+        # continuation only: the first context's sos sits in the PROMPT;
+        # the stream closes it, then opens/closes the map context
+        toks = [tok.encode(Event(EventType.TIME_SHIFT, 1)),
+                tok.encode(Event(EventType.BEAT, 0)),
+                tok.context_eos[ContextType.TIMING],
+                tok.context_sos[ContextType.MAP],
+                tok.encode(Event(EventType.TIME_SHIFT, 1)),
+                tok.encode(Event(EventType.SNAPPING, 4)),
+                tok.encode(Event(EventType.CIRCLE, 0)),
+                tok.context_eos[ContextType.MAP],
+                tok.eos_id]
         return [np.asarray(toks, np.int32) for _ in range(len(frames))]
 
     proc._dispatch = fake_dispatch
@@ -227,10 +232,9 @@ def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
         in_context=[], out_context=[ContextType.TIMING, ContextType.MAP],
         verbose=False)
 
-    # the trained template may interleave more contexts (e.g. kiai); the
-    # requested ones must each get their own dispatch, in template order
-    assert seen_contexts.index(ContextType.TIMING) < seen_contexts.index(ContextType.MAP)
-    assert len(set(seen_contexts)) == len(seen_contexts)  # one decode per context
+    # one decode for the whole window, stopping only at the global EOS
+    assert seen_contexts == [None] * len(seen_contexts)
+    assert len(set(id(c) for c in seen_contexts)) >= 1
     assert len(results) == 2
     timing_events, map_events = results[0][0], results[1][0]
     timing_types = {e.type for e in timing_events}
