@@ -321,6 +321,26 @@ class DiffusionTrainConfig:
 # -- inference ----------------------------------------------------------------
 
 @dataclass
+class AdvancedFeaturesConfig:
+    """BeatHeritage V1 enhancement toggles (reference config.py:45,
+    beatheritage_postprocessor.py — implemented in inference/enhance.py)."""
+    enable_context_aware_generation: bool = False
+    enable_style_preservation: bool = False
+    enable_difficulty_scaling: bool = False
+    enable_pattern_variety: bool = False
+
+
+@dataclass
+class QualityControlConfig:
+    """Position quality-control passes (reference QualityController,
+    beatheritage_postprocessor.py:360 — implemented in inference/enhance.py)."""
+    min_distance_threshold: float = 10.0
+    max_overlap_ratio: float = 0.3
+    enable_auto_correction: bool = False
+    enable_flow_optimization: bool = False
+
+
+@dataclass
 class InferenceConfig:
     model_path: str = ""
     audio_path: str = ""
@@ -420,6 +440,12 @@ class InferenceConfig:
     timesteps: list = field(default_factory=lambda: [100, 0, 0, 0, 0, 0, 0, 0, 0, 0])
     max_seq_len: int = 1024
     overlap_buffer: int = 128
+
+    # BeatHeritage V1 enhancement layer (inference/enhance.py)
+    advanced_features: AdvancedFeaturesConfig = field(
+        default_factory=AdvancedFeaturesConfig)
+    quality_control: QualityControlConfig = field(
+        default_factory=QualityControlConfig)
 
     train: TrainConfig = field(default_factory=TrainConfig)
     diffusion: DiffusionTrainConfig = field(default_factory=DiffusionTrainConfig)

@@ -245,6 +245,11 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
     result = postprocessor.generate(events=events, beatmap_config=beatmap_config,
                                     timing=timing)
 
+    # BeatHeritage V1 enhancement passes (inference/enhance.py; no-op unless
+    # quality_control / advanced_features toggles are set)
+    from .enhance import enhance_result  # noqa: PLC0415
+    result = enhance_result(result, args, verbose=verbose)
+
     result_path = None
     osz_path = None
     if args.add_to_beatmap:
