@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import json
 import mimetypes
+import os
+import platform
 import subprocess
 import sys
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
@@ -23,40 +26,102 @@ from urllib.parse import parse_qs, urlparse
 from ..config import DEFAULT_CONFIG_DIR
 
 STATIC_DIR = Path(__file__).resolve().parent / "webui_static"
+# run logs live here so /open_log_file has a fixed, checkable root
+# (reference web-ui.py:451 restricts to its script_dir/logs the same way)
+LOG_DIR = Path(os.environ.get(
+    "BH_WEBUI_LOG_DIR",
+    Path.home() / ".local" / "state" / "beatheritage_tpu" / "logs"))
+# saved form presets (/save_config). The reference writes config_data to any
+# client-supplied file_path (web-ui.py:488); we deliberately confine writes
+# to this directory and keep only the basename of a supplied path.
+PRESETS_DIR = Path(os.environ.get(
+    "BH_WEBUI_PRESET_DIR",
+    Path.home() / ".config" / "beatheritage_tpu" / "presets"))
 
 
 class InferenceProcess:
-    """Holds the running CLI subprocess (reference web-ui.py:163,366)."""
+    """Holds the running CLI subprocess (reference web-ui.py:163,366).
+
+    A pump thread tees the child's output into a timestamped log file under
+    LOG_DIR and an in-memory line buffer that /stream_output follows, so the
+    full log survives the stream (reference logs to script_dir/logs)."""
 
     def __init__(self):
         self.proc: subprocess.Popen | None = None
         self.lock = threading.Lock()
+        self.log_path: Path | None = None
+        self._lines: list[str] = []
+        self._pump_thread: threading.Thread | None = None
 
     def start(self, module: str, args: list[str]) -> None:
         with self.lock:
             self.cancel()
+            LOG_DIR.mkdir(parents=True, exist_ok=True)
+            self.log_path = LOG_DIR / time.strftime("run_%Y%m%d_%H%M%S.log")
+            self._lines = []
             self.proc = subprocess.Popen(
                 [sys.executable, "-m", module] + args,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
                 bufsize=1)
+            self._pump_thread = threading.Thread(target=self._pump,
+                                                 daemon=True)
+            self._pump_thread.start()
+
+    def _pump(self) -> None:
+        proc, lines = self.proc, self._lines
+        with open(self.log_path, "w", encoding="utf-8") as f:
+            for line in proc.stdout:
+                f.write(line)
+                f.flush()
+                lines.append(line)
+            proc.wait()
+            tail = f"\n[exit code {proc.returncode}]\n"
+            f.write(tail)
+            lines.append(tail)
 
     def cancel(self) -> None:
         if self.proc is not None and self.proc.poll() is None:
             self.proc.kill()
 
     def stream(self):
-        proc = self.proc
-        if proc is None or proc.stdout is None:
+        if self.proc is None:
             yield "no inference running\n"
             return
-        for line in proc.stdout:
-            yield line
-        proc.wait()
-        yield f"\n[exit code {proc.returncode}]\n"
+        lines, pump = self._lines, self._pump_thread
+        i = 0
+        while True:
+            while i < len(lines):
+                yield lines[i]
+                i += 1
+            if pump is None or not pump.is_alive():
+                while i < len(lines):
+                    yield lines[i]
+                    i += 1
+                return
+            time.sleep(0.05)
 
 
 STATE = InferenceProcess()
 MAIMOD_JSON = Path(tempfile.gettempdir()) / "bh_maimod_result.json"
+
+
+def _open_in_file_manager(path: Path) -> None:
+    """Ask the desktop to open a folder/file (reference web-ui.py:436-444)."""
+    system = platform.system()
+    if system == "Windows":
+        os.startfile(os.path.normpath(str(path)))  # noqa: S606
+    elif system == "Darwin":
+        subprocess.Popen(["open", str(path)])
+    else:
+        subprocess.Popen(["xdg-open", str(path)])
+
+
+def _preset_path(name: str) -> Path:
+    """Presets are confined to PRESETS_DIR; any directory part of a
+    client-supplied path is dropped."""
+    stem = Path(name).stem or "preset"
+    safe = "".join(c for c in stem if c.isalnum() or c in "-_ ")[:64] or "preset"
+    return PRESETS_DIR / f"{safe}.json"
 
 
 def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
@@ -177,6 +242,9 @@ class Handler(BaseHTTPRequestHandler):
         q = parse_qs(urlparse(self.path).query)
         if path == "/":
             self._send(200, (STATIC_DIR / "index.html").read_text())
+        elif path == "/maimod":
+            # standalone MaiMod review app (reference mai_mod_ui.py:146)
+            self._send(200, (STATIC_DIR / "maimod.html").read_text())
         elif path.startswith("/static/"):
             f = STATIC_DIR / Path(path).name  # flat dir; no traversal
             if f.is_file():
@@ -211,6 +279,66 @@ class Handler(BaseHTTPRequestHandler):
                 self._send(200, MAIMOD_JSON.read_text(), "application/json")
             else:
                 self._json([])
+        elif path == "/open_folder":
+            # (reference web-ui.py:413) open a folder in the file explorer
+            folder = q.get("folder", [""])[0]
+            if not folder:
+                self._json({"status": "error",
+                            "message": "No folder path specified"}, 400)
+                return
+            target = Path(folder).expanduser().resolve()
+            if not target.is_dir():
+                self._json({"status": "error",
+                            "message": "Invalid or non-existent folder path "
+                                       "specified"}, 400)
+                return
+            try:
+                _open_in_file_manager(target)
+                self._json({"status": "success",
+                            "message": "Folder open request sent."})
+            except Exception as e:  # opener missing on headless hosts
+                self._json({"status": "error",
+                            "message": f"Could not open folder: {e}"}, 500)
+        elif path == "/open_log_file":
+            # (reference web-ui.py:451) strictly confined to LOG_DIR
+            raw = q.get("path", [""])[0] or (
+                str(STATE.log_path) if STATE.log_path else "")
+            if not raw:
+                self._json({"status": "error",
+                            "message": "No log file path specified"}, 400)
+                return
+            log_root = LOG_DIR.resolve()
+            target = Path(raw).expanduser().resolve()
+            if log_root not in target.parents:
+                self._json({"status": "error",
+                            "message": "Access denied: File is outside the "
+                                       "designated logs directory."}, 403)
+                return
+            if not target.is_file():
+                self._json({"status": "error",
+                            "message": "Log file not found."}, 404)
+                return
+            try:
+                _open_in_file_manager(target)
+                self._json({"status": "success",
+                            "message": "Log file open request sent."})
+            except Exception as e:
+                self._json({"status": "error",
+                            "message": f"Could not open log file: {e}"}, 500)
+        elif path == "/logs":
+            logs = sorted(LOG_DIR.glob("*.log")) if LOG_DIR.is_dir() else []
+            self._json([str(p) for p in logs[-50:]])
+        elif path == "/list_presets":
+            presets = (sorted(p.stem for p in PRESETS_DIR.glob("*.json"))
+                       if PRESETS_DIR.is_dir() else [])
+            self._json(presets)
+        elif path == "/load_config":
+            name = q.get("name", [""])[0]
+            p = _preset_path(name)
+            if not name or not p.is_file():
+                self._json({"error": "preset not found"}, 404)
+                return
+            self._send(200, p.read_text(), "application/json")
         else:
             self._send(404, "not found")
 
@@ -252,6 +380,43 @@ class Handler(BaseHTTPRequestHandler):
         elif path in ("/cancel", "/cancel_inference"):
             STATE.cancel()
             self._json({"cancelled": True})
+        elif path == "/save_config":
+            # (reference web-ui.py:488) both shapes are accepted: the
+            # reference's {file_path, config_data} text write and the
+            # client's {name, form} JSON preset; writes stay in PRESETS_DIR
+            form = json.loads(body)
+            name = form.get("name") or form.get("file_path") or ""
+            payload = form.get("form")
+            if payload is None and form.get("config_data") is not None:
+                try:
+                    payload = json.loads(form["config_data"])
+                except (TypeError, ValueError):
+                    payload = {"config_data": form["config_data"]}
+            if not name or payload is None:
+                self._json({"success": False,
+                            "error": "Missing required parameters"})
+                return
+            p = _preset_path(name)
+            PRESETS_DIR.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(payload, indent=2))
+            self._json({"success": True, "file_path": str(p),
+                        "message": "Configuration saved successfully"})
+        elif path == "/validate_paths":
+            # (reference web-ui.py:514) validate + autofill via the same
+            # logic the CLI uses (inference/pipeline.py autofill_paths)
+            from ..config import InferenceConfig  # noqa: PLC0415
+            from ..inference.pipeline import autofill_paths  # noqa: PLC0415
+            form = json.loads(body)
+            args = InferenceConfig()
+            args.audio_path = (form.get("audio_path") or "").strip()
+            args.beatmap_path = (form.get("beatmap_path") or "").strip()
+            args.output_path = (form.get("output_path") or "").strip()
+            result = autofill_paths(args)
+            errors = result.get("errors", []) if isinstance(result, dict) else []
+            self._json({"success": not errors, "errors": errors,
+                        "audio_path": args.audio_path,
+                        "beatmap_path": args.beatmap_path,
+                        "output_path": args.output_path})
         else:
             self._send(404, "not found")
 

@@ -165,6 +165,63 @@ $("reset-config-btn").onclick = () => {
   renderDescriptors();
   updateVisibility();
 };
+
+// ---- server-side presets (/save_config, /load_config, /list_presets) -------
+
+async function refreshPresets() {
+  const names = await (await fetch("/list_presets")).json();
+  $("preset-select").innerHTML = names
+    .map((n) => `<option value="${n}">${n}</option>`)
+    .join("");
+}
+$("save-preset-btn").onclick = async () => {
+  const name = $("preset-name").value.trim();
+  if (!name) return alert("Preset needs a name");
+  const r = await fetch("/save_config", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ name, form: formState() }),
+  });
+  const j = await r.json();
+  if (!j.success) alert("Save failed: " + j.error);
+  await refreshPresets();
+  $("preset-select").value = name;
+};
+$("load-preset-btn").onclick = async () => {
+  const name = $("preset-select").value;
+  if (!name) return;
+  const r = await fetch("/load_config?name=" + encodeURIComponent(name));
+  if (r.ok) applyState(await r.json());
+};
+refreshPresets();
+
+// ---- path autofill (/validate_paths, reference web-ui.py:514) --------------
+
+$("autofill-btn").onclick = async () => {
+  const r = await fetch("/validate_paths", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({
+      audio_path: $("audio_path").value,
+      beatmap_path: $("beatmap_path").value,
+      output_path: $("output_path").value,
+    }),
+  });
+  const j = await r.json();
+  if (j.audio_path) $("audio_path").value = j.audio_path;
+  if (j.output_path) $("output_path").value = j.output_path;
+  if (j.errors && j.errors.length) alert(j.errors.join("\n"));
+};
+
+// ---- open folder / log file -------------------------------------------------
+
+$("open-folder-btn").onclick = () => {
+  const folder =
+    $("output_path").value ||
+    ($("result-path").textContent || "").replace(/\/[^/]*$/, "");
+  if (folder) fetch("/open_folder?folder=" + encodeURIComponent(folder));
+};
+$("open-log-btn").onclick = () => fetch("/open_log_file");
 try {
   const saved = localStorage.getItem("bh_config");
   if (saved) applyState(JSON.parse(saved));
