@@ -69,7 +69,10 @@ def main(argv=None) -> int:
     if cfg.checkpoint_path:
         restored = restore_train_state(cfg.checkpoint_path, trainer.state)
         if restored is not None:
-            trainer.state = restored
+            # re-place on the mesh: orbax restores single-device arrays,
+            # which the train step's explicit in_shardings reject
+            from ..train.train_loop import place_state
+            trainer.state = place_state(restored, trainer.mesh)
             print(f"resumed from step {int(restored.step)}")
 
     micro = cfg.optim.batch_size // max(cfg.optim.grad_acc, 1)

@@ -214,6 +214,19 @@ def make_train_step(dims: ModelDims, cfg, optimizer, mesh: Mesh, *,
         donate_argnums=(0,))
 
 
+def place_state(state, mesh: Mesh):
+    """Device-put a (restored) TrainState onto the shardings make_train_step
+    expects. Required before resuming under a mesh: orbax restores committed
+    single-device arrays, and jit's explicit in_shardings reject them."""
+    if "model" in mesh.shape and mesh.shape["model"] > 1:
+        from ..parallel.sharding import state_shardings  # noqa: PLC0415
+        ss = state_shardings(mesh, state)
+    else:
+        rep = replicated(mesh)
+        ss = jax.tree.map(lambda _: rep, state)
+    return jax.tree.map(jax.device_put, state, ss)
+
+
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
               for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]

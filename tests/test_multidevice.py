@@ -126,3 +126,90 @@ def test_two_process_distributed_bootstrap():
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     assert "RANK0 procs=2" in outs[0] and "psum=2.0" in outs[0], outs[0]
     assert "RANK1 procs=2" in outs[1], outs[1]
+
+
+def test_two_process_train_step_smoke():
+    """Live 2-process SPMD TRAIN STEP (VERDICT r2 item 6): a 4-device global
+    mesh spanning two hosts, global batch assembled from process-local
+    shards, two optimizer steps on a fixed batch. Both ranks must agree on
+    the (replicated) loss and it must decrease."""
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from beatheritage_tpu.config import TrainConfig, load_config
+        from beatheritage_tpu.models import ModelDims, init_params
+        from beatheritage_tpu.parallel import build_mesh, initialize_distributed
+        from beatheritage_tpu.tokenizer import Tokenizer
+        from beatheritage_tpu.train import (
+            build_optimizer, build_schedule, init_train_state, make_train_step)
+
+        topo = initialize_distributed(
+            coordinator_address="127.0.0.1:19733",
+            num_processes=2, process_id=int(sys.argv[1]))
+        assert topo.global_devices == 4, topo
+
+        cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+            "optim.name=muon", "optim.warmup_steps=0", "optim.total_steps=4",
+            "model.spectrogram.implementation=xla"])
+        tok = Tokenizer(cfg)
+        dims = ModelDims.from_config(cfg, tok)
+        params = init_params(jax.random.PRNGKey(0), dims)
+
+        mesh = build_mesh(data=4, model=1, devices=jax.devices())
+        optimizer = build_optimizer(cfg.optim, build_schedule(cfg.optim))
+        state = init_train_state(params, optimizer)
+        rep = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), state)
+        step = make_train_step(dims, cfg, optimizer, mesh, dtype=jnp.float32)
+
+        b_local, tgt = 2, 64
+        rng = np.random.default_rng(0)  # same stream: global batch is the
+        # two hosts' local halves; rank r takes rows [2r:2r+2] of a fixed 4
+        n_samples = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+        ids_g = rng.integers(3, tok.vocab_size_out, (4, tgt)).astype(np.int32)
+        labels_g = np.roll(ids_g, -1, axis=1).astype(np.int32)
+        labels_g[:, -1] = -100
+        frames_g = rng.standard_normal((4, n_samples)).astype(np.float32)
+        r = int(sys.argv[1])
+        sl = slice(2 * r, 2 * r + 2)
+        data_s = NamedSharding(mesh, P("data"))
+        batch = {
+            "frames": frames_g[sl], "decoder_input_ids": ids_g[sl],
+            "labels": labels_g[sl],
+            "decoder_attention_mask": np.ones((b_local, tgt), np.int32),
+        }
+        batch = {k: jax.make_array_from_process_local_data(data_s, v)
+                 for k, v in batch.items()}
+
+        losses = []
+        for _ in range(2):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses), losses
+        assert losses[1] < losses[0], losses
+        print(f"RANK{r} losses={losses[0]:.6f},{losses[1]:.6f}")
+    """)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env)
+             for r in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    loss_lines = [next(l for l in out.splitlines() if "losses=" in l)
+                  for out in outs]
+    # SPMD: both ranks computed the identical replicated loss
+    assert loss_lines[0].split("losses=")[1] == \
+        loss_lines[1].split("losses=")[1], loss_lines
