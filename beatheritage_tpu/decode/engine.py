@@ -208,21 +208,47 @@ def _prompt_monotonic_state(prompt, prompt_mask, tables: TokenTables):
 
 # -- the generation loop ----------------------------------------------------------
 
+def _cache_stages(p_len: int, max_len: int, n_buckets: int) -> list[int]:
+    """Static KV-cache size schedule: the decode loop runs in stages over a
+    growing cache so early steps don't pay attention reads over the full
+    max_len buffer. Sizes are 256-aligned (TPU-friendly tiles); the last
+    stage is exactly max_len."""
+    if n_buckets <= 1 or max_len - p_len <= 512:
+        return [max_len]
+    stages = []
+    for k in range(1, n_buckets):
+        size = p_len + (max_len - p_len) * k // n_buckets
+        size = min(-(-size // 256) * 256, max_len)  # round up to 256
+        if size > p_len and (not stages or size > stages[-1]):
+            stages.append(size)
+    if not stages or stages[-1] != max_len:
+        stages.append(max_len)
+    return stages
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "settings", "tables", "max_len", "dtype"))
+    static_argnames=("dims", "settings", "tables", "max_len", "dtype",
+                     "cache_buckets"))
 def generate(params, dims: ModelDims, settings: SamplerSettings,
              tables: TokenTables, enc_hidden: jnp.ndarray,
              prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
              eos_mask: jnp.ndarray, key: jax.Array, *, max_len: int,
              dtype=jnp.bfloat16,
              enc_mask: Optional[jnp.ndarray] = None,
-             lookback_mask: Optional[jnp.ndarray] = None):
+             lookback_mask: Optional[jnp.ndarray] = None,
+             cache_buckets: int = 4):
     """Generate until EOS or `max_len` total positions.
 
     enc_hidden (Bm, S, D), prompt (Bm, P) left-padded, prompt_mask (Bm, P);
     Bm = 2B when settings.cfg_on (rows [0:B] conditional). eos_mask is a
     (V,) bool array of terminating ids (tables.eos_token_mask).
+
+    The decode runs in `cache_buckets` stages over a growing KV cache
+    (_cache_stages): per-step self-attention traffic scales with the CURRENT
+    stage size instead of max_len, which is the dominant HBM term at serving
+    batch sizes. Token streams are invariant to the staging (padded slots
+    are masked to exact zeros before the probability-weighted sum).
 
     Returns dict with tokens (B, max_len), prompt lengths, final length, and
     finished flags (conditional half only).
@@ -233,7 +259,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         lookback_mask = jnp.zeros(tables.vocab_size_out, dtype=bool)
     timed_mask = jnp.asarray(tables.timed_token_mask)
 
-    cache = init_self_cache(dims, bm, max_len, dtype)
+    stages = _cache_stages(p_len, max_len, cache_buckets)
+    cache = init_self_cache(dims, bm, stages[0], dtype)
     cross_k, cross_v = precompute_cross_kv(params, dims, enc_hidden, dtype)
     qkv = fuse_qkv(params, dtype)
 
@@ -247,8 +274,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     positions_prompt = jnp.clip(jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
     prefill_logits, cache = decoder_cached_forward(
         params, dims, prompt.astype(jnp.int32), cache, cross_k, cross_v,
-        positions_prompt, 0, kv_valid, max_len, dtype, cross_mask=enc_mask,
-        qkv=qkv)
+        positions_prompt, 0, kv_valid[:, :stages[0]], max_len, dtype,
+        cross_mask=enc_mask, qkv=qkv)
     pending = prefill_logits[:, -1]
 
     cond_prompt = prompt[:b].astype(jnp.int32)
@@ -272,64 +299,81 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         "key": key,
     }
 
-    def cond_fn(s):
-        return (s["step"] < max_len) & ~jnp.all(s["finished"])
+    def make_body(stage_len: int):
+        kv_valid_s = kv_valid[:, :stage_len]
 
-    def body_fn(s):
-        step = s["step"]
-        logits = fold_cfg(s["pending"], settings.cfg_scale) if settings.cfg_on else s["pending"]
-        logits = apply_repetition_penalty(logits, s["seen"], settings.repetition_penalty)
-        logits = monotonic_timeshift_mask(logits, s["last_ts"], s["has_ts"],
-                                          tables.time_start, tables.time_end)
-        logits = timeshift_bias(logits, settings.timeshift_bias,
-                                tables.time_start, tables.time_end)
-        prev1 = s["tokens"][:b, jnp.clip(step - 1, 0)]
-        prev3 = s["tokens"][:b, jnp.clip(step - 3, 0)]
-        logits = conditional_temperature(logits, prev1, prev3, settings, tables)
-        pre_lookback = logits
-        if settings.use_lookback:
-            logits = lookback_bias(logits, s["last_scores"], prev1,
-                                   s["have_last"], timed_mask, lookback_mask,
-                                   tables.eos_prob_ids, tables.time_start,
-                                   settings.types_first)
-        logits = apply_top_k(logits, settings.top_k)
-        logits = apply_top_p(logits, settings.top_p)
+        def body_fn(s):
+            step = s["step"]
+            logits = fold_cfg(s["pending"], settings.cfg_scale) if settings.cfg_on else s["pending"]
+            logits = apply_repetition_penalty(logits, s["seen"], settings.repetition_penalty)
+            logits = monotonic_timeshift_mask(logits, s["last_ts"], s["has_ts"],
+                                              tables.time_start, tables.time_end)
+            logits = timeshift_bias(logits, settings.timeshift_bias,
+                                    tables.time_start, tables.time_end)
+            prev1 = s["tokens"][:b, jnp.clip(step - 1, 0)]
+            prev3 = s["tokens"][:b, jnp.clip(step - 3, 0)]
+            logits = conditional_temperature(logits, prev1, prev3, settings, tables)
+            pre_lookback = logits
+            if settings.use_lookback:
+                logits = lookback_bias(logits, s["last_scores"], prev1,
+                                       s["have_last"], timed_mask, lookback_mask,
+                                       tables.eos_prob_ids, tables.time_start,
+                                       settings.types_first)
+            logits = apply_top_k(logits, settings.top_k)
+            logits = apply_top_p(logits, settings.top_p)
 
-        key, sub = jax.random.split(s["key"])
-        token = sample_token(sub, logits, settings.do_sample)
-        token = jnp.where(s["finished"], tables.pad_id, token)
-        finished = s["finished"] | eos_mask[token]
+            key, sub = jax.random.split(s["key"])
+            token = sample_token(sub, logits, settings.do_sample)
+            token = jnp.where(s["finished"], tables.pad_id, token)
+            finished = s["finished"] | eos_mask[token]
 
-        token_m = jnp.tile(token, 2) if settings.cfg_on else token
-        tokens = s["tokens"].at[:, step].set(token_m)
-        seen = s["seen"].at[jnp.arange(b), token].set(True)
+            token_m = jnp.tile(token, 2) if settings.cfg_on else token
+            tokens = s["tokens"].at[:, step].set(token_m)
+            seen = s["seen"].at[jnp.arange(b), token].set(True)
 
-        is_ts = (token >= tables.time_start) & (token < tables.time_end)
-        is_sos = jnp.isin(token, jnp.asarray(tables.sos_ids))
-        last_ts = jnp.where(is_ts, token - tables.time_start, s["last_ts"])
-        has_ts = jnp.where(is_sos, False, s["has_ts"] | is_ts)
+            is_ts = (token >= tables.time_start) & (token < tables.time_end)
+            is_sos = jnp.isin(token, jnp.asarray(tables.sos_ids))
+            last_ts = jnp.where(is_ts, token - tables.time_start, s["last_ts"])
+            has_ts = jnp.where(is_sos, False, s["has_ts"] | is_ts)
 
-        step_logits, cache = decoder_cached_forward(
-            params, dims, tokens[:, step][:, None], s["cache"], cross_k,
-            cross_v, s["pos_next"][:, None], step, kv_valid, max_len, dtype,
-            cross_mask=enc_mask, qkv=qkv)
+            step_logits, cache = decoder_cached_forward(
+                params, dims, tokens[:, step][:, None], s["cache"], cross_k,
+                cross_v, s["pos_next"][:, None], step, kv_valid_s, max_len,
+                dtype, cross_mask=enc_mask, qkv=qkv)
 
-        return {
-            "tokens": tokens,
-            "cache": cache,
-            "pending": step_logits[:, -1],
-            "step": step + 1,
-            "pos_next": s["pos_next"] + 1,
-            "finished": finished,
-            "last_scores": pre_lookback,
-            "have_last": jnp.ones((b,), dtype=bool),
-            "last_ts": last_ts,
-            "has_ts": has_ts,
-            "seen": seen,
-            "key": key,
-        }
+            return {
+                "tokens": tokens,
+                "cache": cache,
+                "pending": step_logits[:, -1],
+                "step": step + 1,
+                "pos_next": s["pos_next"] + 1,
+                "finished": finished,
+                "last_scores": pre_lookback,
+                "have_last": jnp.ones((b,), dtype=bool),
+                "last_ts": last_ts,
+                "has_ts": has_ts,
+                "seen": seen,
+                "key": key,
+            }
 
-    final = jax.lax.while_loop(cond_fn, body_fn, state)
+        return body_fn
+
+    for i, stage_len in enumerate(stages):
+        if i > 0:
+            # grow the cache to the next stage; fresh slots zero + masked
+            grow = stage_len - stages[i - 1]
+            pad = [(0, 0)] * 3 + [(0, grow), (0, 0)]
+            state = dict(state, cache={
+                "k": jnp.pad(state["cache"]["k"], pad),
+                "v": jnp.pad(state["cache"]["v"], pad)})
+        # the body at step t writes cache slot t, so a stage may run while
+        # step < stage_len (slot indices 0..stage_len-1)
+        def cond_fn(s, limit=stage_len):
+            return (s["step"] < limit) & ~jnp.all(s["finished"])
+
+        state = jax.lax.while_loop(cond_fn, make_body(stage_len), state)
+
+    final = state
     return {
         "tokens": final["tokens"][:b],
         "length": final["step"],

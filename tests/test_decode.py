@@ -258,3 +258,45 @@ def test_beam_one_matches_greedy_tokens(setup):
     gl = int(greedy["length"])
     np.testing.assert_array_equal(np.asarray(beam["tokens"])[:, :gl],
                                   np.asarray(greedy["tokens"])[:, :gl])
+
+
+def test_staged_cache_matches_single_stage(setup):
+    """Bucketed decode (growing KV cache) must produce the identical token
+    stream as the single-buffer decode: padded slots are masked before the
+    probability-weighted sum, so staging is stream-invariant."""
+    cfg, tok, dims, params, tables = setup
+    b, p = 2, 8
+    rng = np.random.default_rng(3)
+    s = (cfg.data.src_seq_len - 1) // 2 + 1
+    enc = jnp.asarray(rng.standard_normal((b, s, dims.d_model)) * 0.5,
+                      jnp.float32)
+    prompt = np.full((b, p), tok.pad_id, np.int32)
+    prompt[:, -1] = tok.sos_id
+    mask = jnp.asarray(prompt != tok.pad_id)
+    prompt = jnp.asarray(prompt)
+    # no EOS id ever sampled -> both runs go the full budget across stages
+    eos_mask = jnp.zeros((tok.vocab_size_out,), bool)
+    max_len = p + 1540  # not 256-aligned on purpose
+
+    for settings in (SamplerSettings(do_sample=False, repetition_penalty=1.1),
+                     SamplerSettings(do_sample=True, temperature=1.2,
+                                     top_k=12)):
+        outs = {}
+        for buckets in (1, 4):
+            outs[buckets] = generate(
+                params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                jax.random.PRNGKey(7), max_len=max_len, dtype=jnp.float32,
+                cache_buckets=buckets)
+        assert int(outs[1]["length"]) == int(outs[4]["length"])
+        np.testing.assert_array_equal(np.asarray(outs[1]["tokens"]),
+                                      np.asarray(outs[4]["tokens"]))
+
+
+def test_cache_stage_schedule():
+    from beatheritage_tpu.decode.engine import _cache_stages
+    assert _cache_stages(64, 2112, 4) == [768, 1280, 1792, 2112]
+    assert _cache_stages(64, 512, 4) == [512]       # too short to stage
+    assert _cache_stages(64, 2112, 1) == [2112]     # staging disabled
+    for stages in (_cache_stages(64, 2112, 4), _cache_stages(1024, 3072, 3)):
+        assert stages[-1] == stages[-1] and sorted(stages) == stages
+        assert all(x % 256 == 0 or x == stages[-1] for x in stages)
