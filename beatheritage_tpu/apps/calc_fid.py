@@ -74,16 +74,28 @@ def main(argv=None) -> int:
     feature_fn = None
     if args.fid and args.classifier_ckpt:
         feature_fn = _make_feature_fn(args, tokenizer)
+    complexity_fn = None
+    if args.rcomplexion_ckpt:
+        complexity_fn = _make_complexity_fn(args, tokenizer)
 
     from ..data.parser import BeatmapParser  # noqa: PLC0415
     parser_obj = BeatmapParser(args.inference.train, tokenizer)
     report = evaluate_pairs(real_paths, generated_paths,
                             feature_fn=feature_fn, parser=parser_obj,
-                            tokenizer=tokenizer)
+                            tokenizer=tokenizer, complexity_fn=complexity_fn)
     result = report.as_dict()
     print(json.dumps(result, indent=2))
     (out_dir / "fid_report.json").write_text(json.dumps(result))
     return 0
+
+
+def _classifier_train_cfg(args):
+    """Train config the auxiliary checkpoints were built with (FidConfig
+    classifier_config; defaults to the inference model's train config)."""
+    if args.classifier_config:
+        from ..config import TrainConfig, load_config
+        return load_config(TrainConfig, "train", args.classifier_config)
+    return args.inference.train
 
 
 def _make_feature_fn(args, tokenizer):
@@ -96,7 +108,7 @@ def _make_feature_fn(args, tokenizer):
                                      init_classifier_params)
     from ..train.checkpoints import restore_params
 
-    cfg = args.inference.train
+    cfg = _classifier_train_cfg(args)
     dims = ClassifierDims(
         d_model=cfg.model.arch.d_model, num_heads=cfg.model.arch.num_heads,
         d_ff=cfg.model.arch.d_ff, encoder_layers=cfg.model.arch.encoder_layers,
@@ -124,6 +136,42 @@ def _make_feature_fn(args, tokenizer):
         return np.asarray(out["features"])
 
     return feature_fn
+
+
+def _make_complexity_fn(args, tokenizer):
+    """Rhythm-complexity scorer from a trained rcomplexion checkpoint
+    (reference rcomplexion/inference.py:20 calc_rhythm_complexity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from ..data.classifier_dataset import RComplexionDataset
+    from ..data.parser import BeatmapParser
+    from ..models.rcomplexion import RComplexionDims, rhythm_complexity
+    from ..train.checkpoints import restore_params
+
+    cfg = _classifier_train_cfg(args)
+    dims = RComplexionDims(vocab_size_in=tokenizer.vocab_size_in,
+                           vocab_size_out=tokenizer.vocab_size_out,
+                           src_seq_len=16,
+                           hidden_size=cfg.model.arch.d_model)
+    params = restore_params(args.rcomplexion_ckpt)
+    parser_obj = BeatmapParser(cfg, tokenizer)
+    windower = RComplexionDataset(cfg.data, parser_obj, tokenizer,
+                                  metadata=pd.DataFrame(), path=".")
+    score = jax.jit(lambda p, w, t: rhythm_complexity(p, dims, w, t))
+
+    def complexity_fn(beatmap):
+        rows = list(windower.beatmap_windows(beatmap))
+        if not rows:
+            return None
+        windows = np.stack([r["input_ids"] for r in rows])
+        targets = np.asarray([r["label"] for r in rows])
+        return float(score(params, jnp.asarray(windows),
+                           jnp.asarray(targets)))
+
+    return complexity_fn
 
 
 if __name__ == "__main__":

@@ -67,9 +67,26 @@ def main(argv=None) -> int:
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    dataset = RComplexionDataset(cfg.data, parser_obj, tokenizer)
+    def epochs():
+        """RComplexionDataset is one pass over the corpus; cycle fresh
+        epochs (new seed each) until total_steps — the classifier trainer's
+        epoch-cycling fix applied here too."""
+        epoch = 0
+        while True:
+            ds = RComplexionDataset(cfg.data, parser_obj, tokenizer,
+                                    seed=cfg.seed + epoch)
+            produced = False
+            for batch in batch_iterator(ds, cfg.optim.batch_size):
+                produced = True
+                yield batch
+            if not produced:
+                raise RuntimeError(
+                    "rcomplexion dataset produced no batches — check "
+                    "train_dataset_path / batch_size vs corpus size")
+            epoch += 1
+
     t0 = time.time()
-    for i, batch in enumerate(batch_iterator(dataset, cfg.optim.batch_size)):
+    for i, batch in enumerate(epochs()):
         if i >= cfg.optim.total_steps:
             break
         params, opt_state, loss = step(params, opt_state, batch)

@@ -467,6 +467,13 @@ class FidConfig:
     gamemodes: list = field(default_factory=lambda: [0])
     classifier_ckpt: str = ""
     classifier_batch_size: int = 16
+    # train config the classifier/rcomplexion checkpoints were built with
+    # (their dims need not match the inference model's — e.g. a 384-dim
+    # classifier scoring a 768-dim flagship run); '' = inference.train
+    classifier_config: str = ""
+    # trained rcomplexion checkpoint: adds mean rhythm complexity
+    # (bits/note) for real vs generated maps to the report
+    rcomplexion_ckpt: str = ""
     training_set_ids_path: Optional[str] = None
     inference: InferenceConfig = field(default_factory=InferenceConfig)
 

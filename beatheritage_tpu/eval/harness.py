@@ -71,6 +71,10 @@ class FidReport:
     passive_rhythm: dict
     n_real: int
     n_generated: int
+    # mean rhythm complexity (bits/note, trained rcomplexion model); the
+    # generated distribution should track the real one
+    complexity_real: Optional[float] = None
+    complexity_gen: Optional[float] = None
 
     def as_dict(self) -> dict:
         out = {"fid": self.fid, "n_real": self.n_real,
@@ -80,18 +84,26 @@ class FidReport:
             out[f"rhythm_{name}_precision"] = calculate_precision(stats)
             out[f"rhythm_{name}_recall"] = calculate_recall(stats)
             out[f"rhythm_{name}_f1"] = calculate_f1(stats)
+        if self.complexity_real is not None or self.complexity_gen is not None:
+            out["rhythm_complexity_real"] = self.complexity_real
+            out["rhythm_complexity_generated"] = self.complexity_gen
         return out
 
 
 def evaluate_pairs(real_paths: list, generated_paths: list,
-                   feature_fn=None, parser=None, tokenizer=None) -> FidReport:
+                   feature_fn=None, parser=None, tokenizer=None,
+                   complexity_fn=None) -> FidReport:
     """Compare (real, generated) beatmap pairs.
 
     feature_fn(beatmap) -> (N, D) classifier features, or None to skip FID.
+    complexity_fn(beatmap) -> float rhythm complexity (bits/note, trained
+    rcomplexion model — reference rcomplexion/inference.py:20), or None;
+    generated maps should match the real maps' complexity distribution.
     """
     active = {"true_positives": 0, "false_positives": 0, "false_negatives": 0}
     passive = dict(active)
     real_feats, gen_feats = [], []
+    real_cx, gen_cx = [], []
     n_real = n_gen = 0
     for real_path, gen_path in zip(real_paths, generated_paths):
         try:
@@ -111,6 +123,13 @@ def evaluate_pairs(real_paths: list, generated_paths: list,
                 real_feats.append(rf)
             if gf is not None and len(gf):
                 gen_feats.append(gf)
+        if complexity_fn is not None:
+            rc = complexity_fn(real)
+            gc = complexity_fn(gen)
+            if rc is not None:
+                real_cx.append(float(rc))
+            if gc is not None:
+                gen_cx.append(float(gc))
 
     fid = None
     if real_feats and gen_feats:
@@ -118,7 +137,10 @@ def evaluate_pairs(real_paths: list, generated_paths: list,
         ga = np.concatenate(gen_feats)
         if len(ra) > 1 and len(ga) > 1:
             fid = fid_between(ra, ga)
-    return FidReport(fid, active, passive, n_real, n_gen)
+    cx_real = float(np.mean(real_cx)) if real_cx else None
+    cx_gen = float(np.mean(gen_cx)) if gen_cx else None
+    return FidReport(fid, active, passive, n_real, n_gen,
+                     complexity_real=cx_real, complexity_gen=cx_gen)
 
 
 def check_training_overlap(generated_ids: list[int],
