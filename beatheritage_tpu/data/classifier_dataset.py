@@ -81,7 +81,8 @@ class ClassifierDataset:
                         arr = np.full(self.max_tokens, self.tokenizer.pad_id, np.int32)
                         arr[:min(len(toks), self.max_tokens)] = toks[:self.max_tokens]
                         yield {"audio": window_audio.astype(np.float32),
-                               "tokens": arr, "label": np.int32(label)}
+                               "tokens": arr, "label": np.int32(label),
+                               "beatmap_id": np.int64(row["Id"])}
                     t0 += WINDOW_MS
 
 
