@@ -65,7 +65,15 @@ def load_diffusion_model(args: InferenceConfig):
     def _restore(ckpt):
         p = Path(ckpt) if ckpt else None
         if p is not None and p.is_dir() and (p / "params").exists():
-            return restore_params(p)
+            tree = restore_params(p)
+            # the DiT trainer checkpoints {'params', 'ema'}; sample with the
+            # EMA weights like the reference (osu_diffusion train.py:32
+            # update_ema; sampling loads the ema state dict)
+            if isinstance(tree, dict) and "ema" in tree:
+                return tree["ema"]
+            if isinstance(tree, dict) and set(tree) == {"params"}:
+                return tree["params"]
+            return tree
         return None
 
     diff_params = _restore(args.diff_ckpt)
