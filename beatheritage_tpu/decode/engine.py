@@ -117,7 +117,7 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
     cache every step, which dominates decode time.
     """
     b, c = token_ids.shape
-    t_max = cache["k"].shape[3]
+    t_max = cache["k"].shape[4]  # transposed (L, B, H, Dh, T) layout
     x = params["dec_embed"].astype(dtype)[token_ids]
     if qkv is None:
         qkv = fuse_qkv(params, dtype)
@@ -148,29 +148,31 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
         k = split_heads(qkv_out[..., d:2 * d], dims.num_heads)
         v = split_heads(qkv_out[..., 2 * d:], dims.num_heads)
         q, k = apply_rope(q, k, cos, sin)
+        # caches are (B, H, Dh, T) per layer (kv_cache.py: T-minor avoids
+        # the 2x lane padding of Dh=64-minor layouts)
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None], (li, 0, 0, slot_start, 0))
+            k_all, k.transpose(0, 1, 3, 2)[None], (li, 0, 0, 0, slot_start))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None], (li, 0, 0, slot_start, 0))
+            v_all, v.transpose(0, 1, 3, 2)[None], (li, 0, 0, 0, slot_start))
         k_cache = jax.lax.dynamic_slice_in_dim(k_all, li, 1, 0)[0]
         v_cache = jax.lax.dynamic_slice_in_dim(v_all, li, 1, 0)[0]
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+        logits = jnp.einsum("bhqd,bhdk->bhqk", q, k_cache,
                             preferred_element_type=jnp.float32) * scale
         logits = jnp.where(self_mask, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_cache,
+        attn = jnp.einsum("bhqk,bhdk->bhqd", probs, v_cache,
                           preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + _lin(merge_heads(attn), layer["o"])
 
-        # cross-attention against precomputed encoder K/V
+        # cross-attention against precomputed encoder K/V (B, H, Dh, S)
         h = _ln(x, layer["ln2"])
         xq = split_heads(_lin(h, layer["xq"]), dims.num_heads)
-        xl = jnp.einsum("bhqd,bhkd->bhqk", xq, ck,
+        xl = jnp.einsum("bhqd,bhdk->bhqk", xq, ck,
                         preferred_element_type=jnp.float32) * scale
         if cross_mask is not None:
             xl = jnp.where(cross_mask[:, None, None, :], xl, NEG_INF)
         xp = jax.nn.softmax(xl, axis=-1).astype(cv.dtype)
-        xa = jnp.einsum("bhqk,bhkd->bhqd", xp, cv,
+        xa = jnp.einsum("bhqk,bhdk->bhqd", xp, cv,
                         preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + _lin(merge_heads(xa), layer["xo"])
 
@@ -362,7 +364,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
         if i > 0:
             # grow the cache to the next stage; fresh slots zero + masked
             grow = stage_len - stages[i - 1]
-            pad = [(0, 0)] * 3 + [(0, grow), (0, 0)]
+            pad = [(0, 0)] * 4 + [(0, grow)]  # (L, B, H, Dh, T): grow T
             state = dict(state, cache={
                 "k": jnp.pad(state["cache"]["k"], pad),
                 "v": jnp.pad(state["cache"]["v"], pad)})

@@ -16,21 +16,27 @@ from ..models.transformer import ModelDims
 
 def init_self_cache(dims: ModelDims, batch: int, max_len: int,
                     dtype=jnp.bfloat16) -> dict:
-    shape = (dims.decoder_layers, batch, dims.num_heads, max_len, dims.head_dim)
+    """Transposed (L, B, H, Dh, T) layout: the sequence axis is minor, so the
+    per-step cache read streams full 128-lane tiles. The natural (..., T, Dh)
+    layout puts Dh=64 minor, which XLA pads to 128 lanes — 2x the physical
+    HBM traffic on what is the dominant per-step read (round-2 OOM dumps
+    confirmed the 2.0x lane padding on (..., T, 64)-minor arrays)."""
+    shape = (dims.decoder_layers, batch, dims.num_heads, dims.head_dim, max_len)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def precompute_cross_kv(params, dims: ModelDims, enc_hidden: jnp.ndarray,
                         dtype=jnp.bfloat16) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Encoder hidden (B, S, D) -> per-layer cross K/V (L, B, H, S, Dh)."""
+    """Encoder hidden (B, S, D) -> per-layer cross K/V (L, B, H, Dh, S) —
+    S-minor for the same lane-padding reason as init_self_cache."""
     enc = enc_hidden.astype(dtype)
 
     def one_layer(layer):
         k = enc @ layer["xk"]["w"].astype(dtype)
         v = enc @ layer["xv"]["w"].astype(dtype) + layer["xv"]["b"].astype(dtype)
         b, s, d = k.shape
-        k = k.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 3, 1)
+        v = v.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 3, 1)
         return k, v
 
     return jax.vmap(one_layer)(params["decoder"]["layers"])
