@@ -306,8 +306,14 @@ class Trainer:
         prof = getattr(self.cfg, "profile", None)
         prof_start = prof.wait + prof.warmup if prof and prof.do_profile else None
         prof_stop = (prof_start + prof.active) if prof_start is not None else None
+        # max_steps bounds the GLOBAL step (state.step), not the number of
+        # batches this call consumes: a resumed run must stop at the same
+        # total_steps as a fresh one (reference osuT5/train.py:97-99 resumes
+        # scheduler+step together). One host fetch here; the loop itself
+        # compares against the local counter to avoid a per-step device sync.
+        start_step = int(self.state.step)
         for i, batch in enumerate(batches):
-            if max_steps is not None and i >= max_steps:
+            if max_steps is not None and start_step + i >= max_steps:
                 break
             if prof_start is not None and i == prof_start:
                 import jax.profiler  # noqa: PLC0415

@@ -169,6 +169,24 @@ def test_trainer_fit_runs(setup, tmp_path):
     assert int(trainer.state.step) == 2
 
 
+def test_trainer_fit_max_steps_is_global(setup):
+    """max_steps bounds state.step, not batches-consumed: a resumed run
+    must stop at the same total as a fresh one (caught live: a run resumed
+    from step 6500 with total_steps=8000 kept training past 8000)."""
+    cfg, tok, dims, params = setup
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok,
+                      checkpoint_dir=None, log_every=1)
+    batch = make_batch(cfg, tok, batch=8)
+    trainer.fit(iter([batch] * 3), max_steps=2)
+    assert int(trainer.state.step) == 2
+    # "resume": fit again with the same max_steps — already there, no step
+    trainer.fit(iter([batch] * 3), max_steps=2)
+    assert int(trainer.state.step) == 2
+    # raising the budget trains only the remainder
+    trainer.fit(iter([batch] * 5), max_steps=3)
+    assert int(trainer.state.step) == 3
+
+
 def test_tensor_parallel_matches_replicated(setup):
     """(data=4, model=2) mesh with Megatron-style param sharding must match
     the replicated single-device loss (TP allreduce correctness)."""
