@@ -31,7 +31,8 @@ def main(argv=None) -> int:
     from ..diffusion.sampler import training_losses
     from ..diffusion.schedule import DiffusionSchedule
     from ..diffusion.tokenizer import DiffusionTokenizer
-    from ..models.dit import DiTDims, dit_forward, init_dit_params
+    from ..models.dit import (DiTDims, dit_forward, init_dit_params,
+                              sinusoidal_embedding)
     from ..parallel.mesh import batch_sharding, build_mesh, replicated
     from ..train.optim import build_schedule
 
@@ -53,11 +54,20 @@ def main(argv=None) -> int:
     mesh = build_mesh(-1, 1)
     max_t = cfg.model.max_diffusion_step
 
+    def make_context(batch):
+        # (reference data_loading.py: GLIDE sin/cos features of 0.1*time and
+        # jump distance + 16 kind flags) — computed ON DEVICE so each batch
+        # ships ~100 KB of raw scalars, not the ~9 MB (B, L, 272) embedding
+        emb_o = sinusoidal_embedding(batch["o"] * 0.1, 128)
+        emb_d = sinusoidal_embedding(batch["d"], 128)
+        return jnp.concatenate([emb_o, emb_d, batch["k"]], axis=-1)
+
     def step_fn(params, opt_state, ema, batch, ts, weights, key):
         def loss_fn(p):
+            c = make_context(batch)
             out = training_losses(
                 schedule,
-                lambda x, t: dit_forward(p, dims, x, t, batch["c"], batch["y"]),
+                lambda x, t: dit_forward(p, dims, x, t, c, batch["y"]),
                 batch["x"], ts, key, l1=cfg.model.l1_loss, weights=weights)
             return out["loss"], out
 
@@ -76,28 +86,65 @@ def main(argv=None) -> int:
     t_sampler = create_schedule_sampler(cfg.model.schedule_sampler, max_t)
     t_rng = np.random.default_rng(cfg.seed)
 
-    batches = repeating_batch_iterator(
-        lambda: DiffusionDataset(cfg, tokenizer), cfg.optim.batch_size)
-    key = jax.random.PRNGKey(cfg.seed)
+    from ..train.checkpoints import (latest_state_dir,  # noqa: PLC0415
+                                     save_params)
+    import orbax.checkpoint as ocp  # noqa: PLC0415
+
+    start_step = 0
+    if cfg.checkpoint_path:
+        latest = latest_state_dir(cfg.checkpoint_path)
+        if latest is not None:
+            template = {"step": 0, "params": params, "ema": ema,
+                        "opt_state": opt_state}
+            with ocp.StandardCheckpointer() as ckptr:
+                restored = ckptr.restore(latest, template)
+            start_step = int(restored["step"])
+            params, ema = restored["params"], restored["ema"]
+            opt_state = restored["opt_state"]
+            print(f"resumed from {latest} at step {start_step}")
+
+    def save_state(step_num):
+        from pathlib import Path  # noqa: PLC0415
+        out = Path(cfg.checkpoint_path).resolve()
+        out.mkdir(parents=True, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(out / f"state_{step_num}",
+                       {"step": step_num, "params": params, "ema": ema,
+                        "opt_state": opt_state}, force=True)
+        save_params(cfg.checkpoint_path, {"params": params, "ema": ema})
+
+    # one dataset instance across epochs: it caches the parsed point arrays
+    # (Beatmap parsing dominates loader cost) and reshuffles per __iter__
+    dataset = DiffusionDataset(cfg, tokenizer)
+    batches = repeating_batch_iterator(lambda: dataset, cfg.optim.batch_size)
+    key = jax.random.PRNGKey(cfg.seed + start_step)
+    t_start = time.time()
     t0 = time.time()
     for i, batch in enumerate(batches):
-        if i >= cfg.optim.total_steps:
+        step_num = start_step + i + 1  # 1-based global step
+        if step_num > cfg.optim.total_steps:
+            break
+        if cfg.max_seconds and time.time() - t_start > cfg.max_seconds:
+            print(f"max_seconds reached at step {step_num - 1}; "
+                  "checkpointing and exiting", flush=True)
+            if cfg.checkpoint_path:
+                save_state(step_num - 1)
             break
         key, sub = jax.random.split(key)
         ts, weights = t_sampler.sample(batch["x"].shape[0], t_rng)
         params, opt_state, ema, aux = step(params, opt_state, ema, batch,
                                            ts, weights, sub)
-        t_sampler.update_with_losses(ts, np.asarray(aux["per_sample"]))
-        if (i + 1) % cfg.logging.every_steps == 0:
-            print(f"step {i + 1}: loss={float(aux['loss']):.4f} "
+        if t_sampler.needs_losses:  # uniform sampler: skip the device fetch
+            t_sampler.update_with_losses(ts, np.asarray(aux["per_sample"]))
+        if step_num % cfg.logging.every_steps == 0:
+            print(f"step {step_num}: loss={float(aux['loss']):.4f} "
                   f"mse={float(aux['mse']):.4f} vb={float(aux['vb']):.4f} "
-                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)")
+                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)",
+                  flush=True)
             t0 = time.time()
-        if cfg.checkpoint_path and (i + 1) % cfg.checkpoint.every_steps == 0:
-            from ..train.checkpoints import save_params  # noqa: PLC0415
-            save_params(cfg.checkpoint_path, {"params": params, "ema": ema})
+        if cfg.checkpoint_path and step_num % cfg.checkpoint.every_steps == 0:
+            save_state(step_num)
     if cfg.checkpoint_path:
-        from ..train.checkpoints import save_params  # noqa: PLC0415
         save_params(cfg.checkpoint_path, {"params": params, "ema": ema})
         tokenizer.save_pretrained(cfg.checkpoint_path)
     return 0

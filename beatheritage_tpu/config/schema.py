@@ -308,6 +308,10 @@ class DiffusionTrainConfig:
     precision: str = "bf16"
     seed: int = 0
     checkpoint_path: str = ""
+    # exit cleanly (checkpoint + final save) once this much wall-clock has
+    # elapsed; 0 = no limit. A clean exit matters on shared single-chip
+    # hosts where killing a TPU process wedges the device claim.
+    max_seconds: float = 0.0
     model: DiffusionModelConfig = field(default_factory=DiffusionModelConfig)
     data: DiffusionDataConfig = field(default_factory=DiffusionDataConfig)
     dataloader: DataloaderConfig = field(default_factory=DataloaderConfig)

@@ -16,7 +16,6 @@ from typing import Iterator, Optional
 import numpy as np
 
 from ..diffusion.pipeline import PLAYFIELD, repeat_type
-from ..models.dit import sinusoidal_embedding
 from ..osu.beatmap import Beatmap, Circle, HoldNote, Slider, Spinner
 
 # kind indices (reference data_loading.py create_datapoint/get_data):
@@ -83,8 +82,16 @@ def beatmap_to_points(beatmap: Beatmap, speed: float = 1.0) -> np.ndarray:
 
 def points_to_example(points: np.ndarray, rng: random.Random,
                       distance_std: float = 0.1, augment: bool = True
-                      ) -> tuple[np.ndarray, np.ndarray]:
-    """(L, 3+K) points -> (seq_x (L,2) in [-1,1], seq_c (L, 272))."""
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(L, 3+K) points -> (seq_x (L,2) in [-1,1], o (L,) times,
+    d (L,) jump distances). Kinds stay in points[:, 3:].
+
+    The (L, 272) sinusoidal context embedding is NOT built here: the train
+    step computes it on device (train_diffusion.py make_context) so each
+    batch ships ~100 KB of raw scalars instead of ~9 MB of embeddings —
+    the embedding is pure elementwise work the TPU does for free, while
+    host->device bandwidth is the scarce resource.
+    """
     pos = points[:, :2].copy()
     times = points[:, 2]
     if augment:
@@ -96,11 +103,8 @@ def points_to_example(points: np.ndarray, rng: random.Random,
     distance = np.linalg.norm(deltas, axis=1)
     if augment and distance_std > 0:
         distance = distance * np.exp(np.random.randn(*distance.shape) * distance_std)
-    emb_o = np.asarray(sinusoidal_embedding(times * 0.1, 128))
-    emb_d = np.asarray(sinusoidal_embedding(distance, 128))
-    seq_c = np.concatenate([emb_o, emb_d, points[:, 3:]], axis=-1).astype(np.float32)
     seq_x = (pos / PLAYFIELD * 2 - 1).astype(np.float32)
-    return seq_x, seq_c
+    return seq_x, times.astype(np.float32), distance.astype(np.float32)
 
 
 class DiffusionDataset:
@@ -119,8 +123,31 @@ class DiffusionDataset:
         self.rng = random.Random(seed)
         self.seq_len = args.data.seq_len
         self.stride = args.data.stride
+        # Beatmap.from_path + the slider/anchor walks in beatmap_to_points
+        # dominate loader cost; both are augmentation-independent (double-time
+        # only rescales the cached time column), so parse each map ONCE and
+        # re-augment the cached points every epoch (cheap vectorized numpy).
+        self._entries: Optional[list] = None
 
-    def class_vector(self, beatmap_meta, beatmap: Beatmap) -> np.ndarray:
+    def _load_entries(self) -> list:
+        flat = self.metadata.reset_index()
+        entries = []
+        for i in range(len(flat)):
+            row = flat.iloc[i]
+            beatmap_path = (self.path / "data" / row["BeatmapSetFolder"]
+                            / row["BeatmapFile"])
+            try:
+                bm = Beatmap.from_path(beatmap_path)
+            except (OSError, ValueError):
+                continue
+            points = beatmap_to_points(bm)
+            if len(points) < 2:
+                continue
+            entries.append((row, bm.beatmap_id, bm.circle_size, points))
+        return entries
+
+    def class_vector(self, beatmap_meta, beatmap_id: int,
+                     circle_size: float) -> np.ndarray:
         tok = self.tokenizer
         v = np.zeros(max(tok.num_tokens, 1), np.float32)
         a = self.args.data
@@ -129,7 +156,7 @@ class DiffusionDataset:
             return self.test or self.rng.random() >= prob
 
         if tok.num_classes > 0:
-            v[tok.encode_style(beatmap.beatmap_id)
+            v[tok.encode_style(beatmap_id)
               if keep(a.class_dropout_prob) else tok.style_unk] = 1
         if tok.num_diff_classes > 0:
             sr = beatmap_meta.get("DifficultyRating", 5.0)
@@ -141,33 +168,26 @@ class DiffusionDataset:
         if tok.num_descriptor_classes > 0:
             v[tok.descriptor_unk] = 1
         if tok.num_cs_classes > 0:
-            v[tok.encode_cs(beatmap.circle_size)
+            v[tok.encode_cs(circle_size)
               if keep(a.cs_dropout_prob) else tok.cs_unk] = 1
         return v
 
     def __iter__(self) -> Iterator[dict]:
-        flat = self.metadata.reset_index()
-        order = list(range(len(flat)))
+        if self._entries is None:
+            self._entries = self._load_entries()
+        order = list(range(len(self._entries)))
         if not self.test:
             self.rng.shuffle(order)
         for i in order:
-            row = flat.iloc[i]
-            beatmap_path = (self.path / "data" / row["BeatmapSetFolder"]
-                            / row["BeatmapFile"])
-            try:
-                bm = Beatmap.from_path(beatmap_path)
-            except (OSError, ValueError):
-                continue
-            speed = 1.0
+            row, beatmap_id, circle_size, points = self._entries[i]
             if not self.test and self.rng.random() < self.args.data.double_time_prob:
-                speed = 1.5
-            points = beatmap_to_points(bm, speed)
-            if len(points) < 2:
-                continue
-            seq_x, seq_c = points_to_example(
+                points = points.copy()
+                points[:, 2] /= 1.5  # double-time: same as parsing at speed 1.5
+            seq_x, times, distance = points_to_example(
                 points, self.rng, self.args.data.distance_std,
                 augment=not self.test)
-            class_vec = self.class_vector(row, bm)
+            kinds = points[:, 3:].astype(np.float32)
+            class_vec = self.class_vector(row, beatmap_id, circle_size)
             for start in range(0, max(len(points) - self.seq_len, 1) + 1,
                                self.stride):
                 end = start + self.seq_len
@@ -175,9 +195,12 @@ class DiffusionDataset:
                     if start == 0:
                         # pad short maps to seq_len
                         pad = self.seq_len - len(points)
-                        x = np.pad(seq_x, ((0, pad), (0, 0)))
-                        c = np.pad(seq_c, ((0, pad), (0, 0)))
-                        yield {"x": x, "c": c, "y": class_vec}
+                        yield {"x": np.pad(seq_x, ((0, pad), (0, 0))),
+                               "o": np.pad(times, (0, pad)),
+                               "d": np.pad(distance, (0, pad)),
+                               "k": np.pad(kinds, ((0, pad), (0, 0))),
+                               "y": class_vec}
                     break
-                yield {"x": seq_x[start:end], "c": seq_c[start:end],
+                yield {"x": seq_x[start:end], "o": times[start:end],
+                       "d": distance[start:end], "k": kinds[start:end],
                        "y": class_vec}

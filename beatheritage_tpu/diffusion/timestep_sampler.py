@@ -13,6 +13,8 @@ import numpy as np
 
 
 class UniformSampler:
+    needs_losses = False  # stateless: the train loop can skip the device fetch
+
     def __init__(self, num_timesteps: int):
         self.num_timesteps = num_timesteps
 
@@ -28,6 +30,8 @@ class UniformSampler:
 class LossSecondMomentResampler:
     """Importance-sample t proportional to sqrt(E[loss(t)^2]) once every
     timestep has `history_per_term` observations; uniform until warm."""
+
+    needs_losses = True
 
     def __init__(self, num_timesteps: int, history_per_term: int = 10,
                  uniform_prob: float = 0.001):
