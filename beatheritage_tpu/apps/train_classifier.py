@@ -66,6 +66,13 @@ def main(argv=None) -> int:
 
     from ..data.dataset import load_mmrs_metadata as _load_md  # noqa: PLC0415
     md = _load_md(cfg.data.train_dataset_path)
+    # honor the train subset bounds (reference classifier/dataset.py slices
+    # mapsets the same way) — without this the classifier would train on
+    # the held-out eval sets and contaminate the FID feature space
+    set_ids = md.index.get_level_values(0).unique()
+    lo = cfg.data.train_dataset_start
+    hi = min(cfg.data.train_dataset_end, len(set_ids))
+    md = md.loc[set_ids[lo:hi]]
 
     def epochs():
         """ClassifierDataset is one pass over the corpus; cycle fresh

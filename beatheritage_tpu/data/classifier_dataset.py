@@ -51,7 +51,9 @@ class ClassifierDataset:
                                    self.sample_rate)
             except Exception:
                 continue
-            for _, row in metadata.iterrows():
+            # after .loc[beatmapset_id] the remaining index level IS the
+            # beatmap Id (MMRS metadata indexes by (BeatmapSetId, Id))
+            for beatmap_id, row in metadata.iterrows():
                 try:
                     bm = Beatmap.from_path(track / row["BeatmapFile"])
                     events, event_times = self.parser.parse(bm)
@@ -82,7 +84,9 @@ class ClassifierDataset:
                         arr[:min(len(toks), self.max_tokens)] = toks[:self.max_tokens]
                         yield {"audio": window_audio.astype(np.float32),
                                "tokens": arr, "label": np.int32(label),
-                               "beatmap_id": np.int64(row["Id"])}
+                               "beatmap_id": np.int64(
+                                   row["Id"] if "Id" in row.index
+                                   else beatmap_id)}
                     t0 += WINDOW_MS
 
 
