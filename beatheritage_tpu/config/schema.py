@@ -444,6 +444,11 @@ class InferenceConfig:
     timesteps: list = field(default_factory=lambda: [100, 0, 0, 0, 0, 0, 0, 0, 0, 0])
     max_seq_len: int = 1024
     overlap_buffer: int = 128
+    # on backends without host callbacks (axon), apply the host slider-end
+    # projection every N respaced steps between device-side scan segments
+    # (reference diffusion_pipeline.py:203 applies it per step via
+    # denoised_fn; the in-painting projection still runs per step on device)
+    slider_fix_steps: int = 5
 
     # BeatHeritage V1 enhancement layer (inference/enhance.py)
     advanced_features: AdvancedFeaturesConfig = field(

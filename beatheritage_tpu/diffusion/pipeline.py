@@ -26,7 +26,7 @@ from ..models.dit import (
     sinusoidal_embedding,
 )
 from ..osu.geometry import SliderPath
-from .sampler import p_sample_loop
+from .sampler import p_sample_loop, p_sample_segment
 from .schedule import DiffusionSchedule
 from .tokenizer import DiffusionTokenizer
 
@@ -63,6 +63,9 @@ class DiffusionSlider:
     length: Optional[float]
 
 
+_SEG_SAMPLER_CACHE: dict = {}
+
+
 class DiffusionPipeline:
     def __init__(self, args, params=None, tokenizer: Optional[DiffusionTokenizer] = None,
                  refine_params=None):
@@ -83,6 +86,7 @@ class DiffusionPipeline:
         self.overlap_buffer = args.overlap_buffer
         self.timesteps = args.timesteps
         self.cfg_scale = args.diff_cfg_scale
+        self.slider_fix_steps = getattr(args, "slider_fix_steps", 5)
         self.refine_iters = args.refine_iters
         self.random_init = args.random_init
         self.types_first = args.train.data.types_first
@@ -90,6 +94,7 @@ class DiffusionPipeline:
         self.end_time = args.end_time
         self.has_sv = args.train.data.add_sv
         self._key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+        self._seg_sampler = None  # one jitted program for every chunk
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -291,6 +296,40 @@ class DiffusionPipeline:
         positions = (full_samples[0] + 1) / 2 * PLAYFIELD  # (T, 2)
         return self.events_with_pos(events, positions, seq_indices)
 
+    def _unified_sampler(self, schedule):
+        """The one jitted chunk-sampling program, reused for every chunk of
+        every song/run: all chunk-varying tensors (x, conditioning, band,
+        in-paint mask, reference positions) arrive as same-shaped padded
+        arguments, so the scan compiles once per process and AOT-persists.
+        `schedule` is captured on first use — it is fixed per pipeline
+        (derived from args.timesteps). Memoized at module level so callers
+        that build a fresh pipeline per song (generate()) still reuse the
+        traced/compiled program."""
+        if self._seg_sampler is None:
+            dims, cfg_scale = self.dims, self.cfg_scale
+            cache_key = (dims, cfg_scale, self.noise_schedule,
+                         self.diffusion_steps, tuple(self.timesteps))
+            cached = _SEG_SAMPLER_CACHE.get(cache_key)
+            if cached is not None:
+                self._seg_sampler = cached
+                return cached
+
+            def seg_fn(params, x, key, ts, c, y, band, mask, z_ref):
+                def inpaint(xx):
+                    return jnp.where(mask, xx, z_ref)
+
+                def model_fn(xx, tt):
+                    return dit_forward_cfg(params, dims, xx, tt, c, y,
+                                           cfg_scale, attn_mask=band)
+
+                return p_sample_segment(schedule, model_fn, x, key, ts,
+                                        clip_denoised=True,
+                                        denoised_fn=inpaint)
+
+            self._seg_sampler = jax.jit(seg_fn)
+            _SEG_SAMPLER_CACHE[cache_key] = self._seg_sampler
+        return self._seg_sampler
+
     def _sample_part(self, schedule, z_part, c_part, o_part, y, band,
                      z_ref, sliders, start, end, start_mask_size):
         """Sample one chunk. mask True = generate; in-painted elsewhere."""
@@ -310,9 +349,6 @@ class DiffusionPipeline:
                          if not (np.any((s.seq_indices < start) | (s.seq_indices >= end))
                                  or s.end_index < start or s.end_index >= end)]
 
-        mask_j = jnp.asarray(mask)
-        z_ref_j = jnp.asarray(z_ref)
-
         def host_fix_slider_ends(x_np: np.ndarray) -> np.ndarray:
             pos = (x_np[0] + 1) / 2 * PLAYFIELD
             for s in chunk_sliders:
@@ -326,56 +362,106 @@ class DiffusionPipeline:
 
         # host callbacks are unsupported on this image's TPU backend (axon
         # PJRT reports backend 'tpu' but rejects pure_callback); keep the
-        # fused-callback path for CPU/GPU and host-step on TPU
+        # fused-callback path for CPU/GPU and run padded scan segments with
+        # periodic host projections on TPU
         callbacks_ok = jax.default_backend() not in ("axon", "tpu")
 
-        def inpaint(x):
-            return jnp.where(mask_j, x, z_ref_j)
+        x0 = np.where(mask, np.asarray(z_part, np.float32),
+                      np.asarray(z_ref, np.float32))
+        if chunk_sliders:
+            x0 = host_fix_slider_ends(x0)
 
-        def denoised_fn(x):
-            x = inpaint(x)
-            if chunk_sliders and callbacks_ok:
-                x = jax.pure_callback(
+        if chunk_sliders and callbacks_ok:
+            mask_j = jnp.asarray(mask)
+            z_ref_j = jnp.asarray(z_ref)
+
+            def denoised_fn(x):
+                x = jnp.where(mask_j, x, z_ref_j)
+                return jax.pure_callback(
                     host_fix_slider_ends,
                     jax.ShapeDtypeStruct(x.shape, x.dtype), x)
-            return x
 
-        def model_fn(x, t):
-            return dit_forward_cfg(self.params, self.dims, x, t,
-                                   jnp.asarray(c_part), y, self.cfg_scale,
-                                   attn_mask=jnp.asarray(band))
+            def model_fn(x, t):
+                return dit_forward_cfg(self.params, self.dims, x, t,
+                                       jnp.asarray(c_part), y, self.cfg_scale,
+                                       attn_mask=jnp.asarray(band))
 
-        z0 = jnp.asarray(host_fix_slider_ends(np.asarray(inpaint(jnp.asarray(z_part))))
-                         if chunk_sliders else inpaint(jnp.asarray(z_part)))
-        if chunk_sliders and not callbacks_ok:
-            # the axon PJRT backend has no host-callback support: step the
-            # respaced chain at the Python level and fix slider ends on host
-            # between steps (10-30 active steps; same per-step host work the
-            # reference does)
-            from .sampler import p_sample_step  # noqa: PLC0415
-            step_jit = jax.jit(lambda x, t, key: p_sample_step(
-                schedule, model_fn, x, t, key, clip_denoised=True,
-                denoised_fn=inpaint))
-            x = z0
-            for t in range(schedule.num_steps - 1, -1, -1):
-                x = step_jit(x, jnp.asarray(t), self._next_key())
-                x = jnp.asarray(host_fix_slider_ends(np.asarray(x)))
-            samples = x
+            samples = np.asarray(p_sample_loop(
+                schedule, model_fn, jnp.asarray(x0), self._next_key(),
+                clip_denoised=True, denoised_fn=denoised_fn))
         else:
-            samples = p_sample_loop(schedule, model_fn, z0, self._next_key(),
-                                    clip_denoised=True, denoised_fn=denoised_fn)
+            # ONE padded jitted program for every chunk of every song (see
+            # _unified_sampler): chunk-varying tensors are arguments, pad
+            # rows are frozen by the in-paint mask and excluded from the
+            # attention band. The host slider projection (when needed) runs
+            # every slider_fix_steps between device-side scan segments — a
+            # fresh jit per chunk used to cost a full remote compile, and a
+            # per-step host round-trip ~50-100 ms through the device tunnel.
+            S = max(self.max_seq_len, t_len)
+            pad = S - t_len
+
+            def pad_t(a):
+                if not pad:
+                    return np.asarray(a)
+                widths = ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2)
+                return np.pad(np.asarray(a), widths)
+
+            mask_p = jnp.asarray(pad_t(mask))  # pad rows False -> frozen
+            zref_p = jnp.asarray(pad_t(np.asarray(z_ref, np.float32)))
+            c_p = jnp.asarray(pad_t(np.asarray(c_part, np.float32)))
+            band_p = np.zeros((S, S), dtype=bool)
+            band_p[:t_len, :t_len] = np.asarray(band)
+            band_p = jnp.asarray(band_p)
+
+            seg = self._unified_sampler(schedule)
+            n = schedule.num_steps
+            if chunk_sliders:
+                every = max(int(self.slider_fix_steps), 1)
+                # equalize segment lengths -> at most two program shapes
+                n_segs = max(1, -(-n // every))
+                every = -(-n // n_segs)
+            else:
+                every = n
+            x = jnp.asarray(pad_t(x0))
+            t_hi = n
+            while t_hi > 0:
+                t_lo = max(0, t_hi - every)
+                ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
+                x = seg(self.params, x, self._next_key(), ts,
+                        c_p, y, band_p, mask_p, zref_p)
+                if chunk_sliders and t_lo > 0:
+                    x_np = np.array(x)  # writable host copy
+                    x_np[:, :t_len] = host_fix_slider_ends(x_np[:, :t_len])
+                    x = jnp.asarray(x_np)
+                t_hi = t_lo
+            samples = np.asarray(x)[:, :t_len]
+            if chunk_sliders:
+                samples = host_fix_slider_ends(samples)
+
         if self.refine_params is not None:
+            mask_j = jnp.asarray(mask)
+            z_ref_j = jnp.asarray(z_ref)
+
+            def inpaint_r(x):
+                return jnp.where(mask_j, x, z_ref_j)
+
             def refine_fn(x, t):
                 return dit_forward_cfg(self.refine_params, self.dims, x, t,
                                        jnp.asarray(c_part), y, self.cfg_scale,
                                        attn_mask=jnp.asarray(band))
+
             from .sampler import p_sample_step  # noqa: PLC0415
+            samples_j = jnp.asarray(samples)
             for _ in range(self.refine_iters):
-                samples = p_sample_step(
-                    schedule, refine_fn, samples,
+                samples_j = p_sample_step(
+                    schedule, refine_fn, samples_j,
                     jnp.zeros((), jnp.int32), self._next_key(),
-                    clip_denoised=True, denoised_fn=denoised_fn)
-        return np.asarray(samples)
+                    clip_denoised=True, denoised_fn=inpaint_r)
+                if chunk_sliders:
+                    samples_j = jnp.asarray(
+                        host_fix_slider_ends(np.array(samples_j)))
+            samples = np.asarray(samples_j)
+        return np.asarray(samples, np.float32)
 
     @staticmethod
     def events_with_pos(events: list[Event], positions: np.ndarray,

@@ -77,12 +77,14 @@ def p_sample_step(schedule: DiffusionSchedule, model_fn: Callable,
     return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
 
-def p_sample_loop(schedule: DiffusionSchedule, model_fn: Callable,
-                  noise: jnp.ndarray, key: jax.Array, *,
-                  clip_denoised: bool = True,
-                  denoised_fn: Optional[Callable] = None) -> jnp.ndarray:
-    """Full reverse process over all respaced steps (descending) in one scan."""
-    n_steps = schedule.num_steps
+def p_sample_segment(schedule: DiffusionSchedule, model_fn: Callable,
+                     x: jnp.ndarray, key: jax.Array, ts: jnp.ndarray, *,
+                     clip_denoised: bool = True,
+                     denoised_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Reverse process over an explicit (descending) slice of respaced steps
+    in one scan — the device-side building block that lets callers interleave
+    host work (e.g. the slider-end projection on backends without host
+    callbacks) every len(ts) steps instead of every step."""
 
     def body(carry, t):
         x, key = carry
@@ -91,9 +93,19 @@ def p_sample_loop(schedule: DiffusionSchedule, model_fn: Callable,
                           clip_denoised=clip_denoised, denoised_fn=denoised_fn)
         return (x, key), None
 
-    ts = jnp.arange(n_steps - 1, -1, -1)
-    (x, _), _ = jax.lax.scan(body, (noise, key), ts)
+    (x, _), _ = jax.lax.scan(body, (x, key), ts)
     return x
+
+
+def p_sample_loop(schedule: DiffusionSchedule, model_fn: Callable,
+                  noise: jnp.ndarray, key: jax.Array, *,
+                  clip_denoised: bool = True,
+                  denoised_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Full reverse process over all respaced steps (descending) in one scan."""
+    ts = jnp.arange(schedule.num_steps - 1, -1, -1)
+    return p_sample_segment(schedule, model_fn, noise, key, ts,
+                            clip_denoised=clip_denoised,
+                            denoised_fn=denoised_fn)
 
 
 def training_losses(schedule: DiffusionSchedule, model_fn: Callable,

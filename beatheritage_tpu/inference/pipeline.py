@@ -54,12 +54,23 @@ def load_model(args: InferenceConfig, tokenizer: Tokenizer):
     return params, dims
 
 
+_DIFF_MODEL_CACHE: dict = {}
+
+
 def load_diffusion_model(args: InferenceConfig):
     """Load DiT coordinate-model params from args.diff_ckpt and, when
     position_refinement is enabled, the separate refine-model params from
     args.diff_refine_ckpt (reference: inference.py diff_ckpt/diff_refine_ckpt
     + osu_diffusion DiT checkpoints). Either may be absent -> None (the
-    DiffusionPipeline falls back to random init, useful for smoke tests)."""
+    DiffusionPipeline falls back to random init, useful for smoke tests).
+
+    Loads are memoized per (ckpt paths, model name): restoring DiT-B re-uploads
+    ~0.5 GB to the device, which must not happen per generated song (callers
+    like the web UI and eval loops call generate() repeatedly)."""
+    key = (args.diff_ckpt, args.diff_refine_ckpt if args.position_refinement
+           else None, args.diffusion.model.model)
+    if key in _DIFF_MODEL_CACHE:
+        return _DIFF_MODEL_CACHE[key]
     from ..train.checkpoints import restore_params  # noqa: PLC0415
 
     def _restore(ckpt):
@@ -79,6 +90,7 @@ def load_diffusion_model(args: InferenceConfig):
     diff_params = _restore(args.diff_ckpt)
     refine_params = _restore(args.diff_refine_ckpt) \
         if args.position_refinement else None
+    _DIFF_MODEL_CACHE[key] = (diff_params, refine_params)
     return diff_params, refine_params
 
 

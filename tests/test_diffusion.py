@@ -114,6 +114,23 @@ def test_p_sample_loop_runs_and_bounded(dit):
     assert out.shape == noise.shape
     assert np.all(np.isfinite(np.asarray(out)))
 
+    # a single segment spanning every step IS the full loop (the pipeline's
+    # segmented slider path relies on this identity)
+    from beatheritage_tpu.diffusion.sampler import p_sample_segment
+    ts = jnp.arange(s.num_steps - 1, -1, -1)
+    seg = p_sample_segment(s, model_fn, noise, jax.random.PRNGKey(5), ts)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(out), rtol=1e-6)
+
+    # composing shorter segments stays a valid sampler: finite, in-range
+    x = noise
+    t_hi = s.num_steps
+    while t_hi > 0:
+        t_lo = max(0, t_hi - 4)
+        x = p_sample_segment(s, model_fn, x, jax.random.PRNGKey(t_hi),
+                             jnp.arange(t_hi - 1, t_lo - 1, -1))
+        t_hi = t_lo
+    assert np.all(np.isfinite(np.asarray(x)))
+
 
 def test_training_losses_finite_and_grad(dit):
     dims, params = dit
