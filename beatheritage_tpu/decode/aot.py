@@ -59,10 +59,18 @@ def _device_fingerprint() -> str:
     return f"{d.platform}-{getattr(d, 'device_kind', '?')}-{jax.device_count()}"
 
 
-def _digest(lowered) -> str:
+def _digest(lowered, convention: str = "") -> str:
+    """Digest of the lowered HLO + the call convention.
+
+    The convention (arg/kwarg treedef) MUST be part of the key: two
+    signatures of the same computation can lower to identical HLO while
+    flattening differently, and a deserialized executable only accepts the
+    exact tree it was serialized with (seen live: a cached pre-refactor
+    engine.generate exe rejected every call after kwargs were added)."""
     text = lowered.as_text()
     h = hashlib.sha256()
     h.update(_device_fingerprint().encode())
+    h.update(convention.encode())
     h.update(text.encode())
     return h.hexdigest()[:24]
 
@@ -85,15 +93,18 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
     if sig is not None and sig in _SIG_MEMO:
         try:
             return _SIG_MEMO[sig](*args, **kwargs)
-        except TypeError:
+        except TypeError as e:
             # argument-convention mismatch only; anything else (OOM,
             # sharding, donation) must surface, not silently re-run
-            _note_fallback("memoized executable rejected the call convention")
+            _note_fallback(
+                f"memoized executable rejected the call convention: {e}")
             return jitted_fn(*args, **kwargs)
 
     try:
         lowered = jitted_fn.lower(*args, **kwargs)
-        digest = _digest(lowered)
+        _, call_tree = jax.tree_util.tree_flatten(
+            (args, tuple(sorted(kwargs.items()))))
+        digest = _digest(lowered, convention=str(call_tree))
     except Exception:
         return jitted_fn(*args, **kwargs)
 
@@ -125,10 +136,10 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
         _SIG_MEMO[sig] = exe
     try:
         return exe(*args, **kwargs)
-    except TypeError:
+    except TypeError as e:
         # argument-convention mismatch (e.g. a deserialized exe whose
         # flattening differs from this call site): plain call
-        _note_fallback("executable rejected the call convention")
+        _note_fallback(f"executable rejected the call convention: {e}")
         return jitted_fn(*args, **kwargs)
 
 

@@ -149,6 +149,12 @@ def main() -> int:
         m["p50_latency_s"] = round(float(np.median(lat)), 2)
         results[mode] = m
 
+    # ground-truth baseline: the held-out maps scored by the same metrics —
+    # the overlap/spacing level the corpus style itself exhibits (without
+    # this, a refined overlap_rate has no reference point)
+    gt_paths = [o for _, osus in songs for o in osus]
+    results["corpus_gt"] = metrics(gt_paths, corpus_sp)
+
     delta = None
     if results["coarse"]["spacing_wasserstein_px"] == results["coarse"][
             "spacing_wasserstein_px"]:  # not NaN
