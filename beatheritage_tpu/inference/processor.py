@@ -102,6 +102,22 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
+def _bucket_windows(b: int) -> int:
+    """Window-batch bucket: 1, 2, 4, then multiples of 4.
+
+    The encoder and decode programs specialize on the window count, so every
+    previously-unseen song length used to pay a fresh compile (~15 s per new
+    song through the remote-compile tunnel). Padding the batch to a few
+    bucket sizes makes all songs share a handful of programs; padded rows
+    duplicate row 0 (same EOS timing, so they never extend the decode) and
+    are dropped before returning."""
+    if b <= 1:
+        return 1
+    if b <= 2:
+        return 2
+    return -(-b // 4) * 4
+
+
 class Processor:
     def __init__(self, args, params, tokenizer: Tokenizer,
                  cfg_scale: Optional[float] = None, verbose: bool = True,
@@ -244,9 +260,26 @@ class Processor:
                                    lookahead_time=lookahead_time,
                                    context_type=context_type)
             return self.client.generate(model_kwargs, generate_kwargs)
+        b_raw = frames.shape[0]
+        b_tgt = _bucket_windows(b_raw)
+        if b_tgt > b_raw:
+            reps = b_tgt - b_raw
+
+            def pad0(a):
+                a = np.asarray(a)
+                return np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
+
+            frames = pad0(frames)
+            cond_prompt = pad0(cond_prompt)
+            if uncond_prompt is not None:
+                uncond_prompt = pad0(uncond_prompt)
+            wcond = {k: pad0(v)
+                     if np.ndim(v) >= 1 and np.shape(v)[0] == b_raw else v
+                     for k, v in wcond.items()}
         enc = self.encode_audio(frames, wcond)
-        return self._run_engine(enc, cond_prompt, uncond_prompt,
+        outs = self._run_engine(enc, cond_prompt, uncond_prompt,
                                 lookback_time, lookahead_time, context_type)
+        return outs[:b_raw]
 
     def _run_engine(self, enc_hidden, cond_prompt: np.ndarray,
                     uncond_prompt: Optional[np.ndarray],

@@ -134,12 +134,21 @@ def main() -> int:
         out_dir = Path("/tmp/eval_positions_out") / mode
         out_dir.mkdir(parents=True, exist_ok=True)
         paths, lat = [], []
-        for i, (wav, _) in enumerate(songs):
+        for i, (wav, osus) in enumerate(songs):
+            # condition on the held-out map's metadata (style/difficulty/CS)
+            # like calc_fid does — with the generic config every class field
+            # is unknown, the CFG null vector equals the class vector, and
+            # the refiner samples unconditionally
+            from beatheritage_tpu.inference.processor import (
+                generation_config_from_beatmap)
+            from beatheritage_tpu.osu.beatmap import Beatmap
+            song_gc = generation_config_from_beatmap(
+                Beatmap.from_path(osus[0]), tokenizer)
             t0 = time.perf_counter()
             _, path, _ = generate(
                 cfg, audio_path=str(wav), output_path=str(out_dir / f"s{i}"),
                 params=params, tokenizer=tokenizer,
-                generation_config=gen_cfg, beatmap_config=bm_cfg,
+                generation_config=song_gc, beatmap_config=bm_cfg,
                 verbose=False)
             lat.append(time.perf_counter() - t0)
             paths.append(Path(path))
