@@ -75,6 +75,24 @@ def _digest(lowered, convention: str = "") -> str:
     return h.hexdigest()[:24]
 
 
+def _strip_statics(jitted_fn, args, kwargs):
+    """Dynamic-only (args, kwargs) for calling a DESERIALIZED executable.
+
+    serialize_executable's in_tree covers only the dynamic inputs — static
+    args are baked into the program — so a loaded exe rejects the original
+    call convention (statics included), while a same-process Compiled from
+    lowered.compile() accepts and validates it. Strip statics using the jit
+    wrapper's own PjitInfo."""
+    info = getattr(jitted_fn, "_jit_info", None)
+    if info is None:
+        return args, kwargs
+    nums = set(getattr(info, "static_argnums", ()) or ())
+    names = set(getattr(info, "static_argnames", ()) or ())
+    dyn_args = tuple(a for i, a in enumerate(args) if i not in nums)
+    dyn_kwargs = {k: v for k, v in kwargs.items() if k not in names}
+    return dyn_args, dyn_kwargs
+
+
 def aot_call(jitted_fn, cache_dir, *args, **kwargs):
     """Call a jitted function through the AOT executable cache.
 
@@ -90,14 +108,25 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
         sig = _call_signature(jitted_fn, args, kwargs)
     except TypeError:
         sig = None
+    # executables (lowered.compile() and deserialized alike) accept ONLY the
+    # dynamic inputs — statics are baked into the program
+    dyn_args, dyn_kwargs = _strip_statics(jitted_fn, args, kwargs)
     if sig is not None and sig in _SIG_MEMO:
         try:
-            return _SIG_MEMO[sig](*args, **kwargs)
+            return _SIG_MEMO[sig](*dyn_args, **dyn_kwargs)
         except TypeError as e:
             # argument-convention mismatch only; anything else (OOM,
-            # sharding, donation) must surface, not silently re-run
+            # donation) must surface, not silently re-run
             _note_fallback(
                 f"memoized executable rejected the call convention: {e}")
+            return jitted_fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as e:
+            if "shard" not in str(e):
+                raise
+            # inputs not pre-placed for a sharded program: executables skip
+            # jit's automatic device_put (callers on a mesh place inputs
+            # first — see processor._run_engine)
+            _note_fallback(f"executable rejected input placement: {e}")
             return jitted_fn(*args, **kwargs)
 
     try:
@@ -135,11 +164,16 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
     if sig is not None:
         _SIG_MEMO[sig] = exe
     try:
-        return exe(*args, **kwargs)
+        return exe(*dyn_args, **dyn_kwargs)
     except TypeError as e:
         # argument-convention mismatch (e.g. a deserialized exe whose
         # flattening differs from this call site): plain call
         _note_fallback(f"executable rejected the call convention: {e}")
+        return jitted_fn(*args, **kwargs)
+    except jax.errors.JaxRuntimeError as e:
+        if "shard" not in str(e):
+            raise
+        _note_fallback(f"executable rejected input placement: {e}")
         return jitted_fn(*args, **kwargs)
 
 
