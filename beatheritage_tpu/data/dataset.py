@@ -748,7 +748,18 @@ def _mp_worker(cfg, tokenizer_state, test, seed, worker_id, num_workers,
                          shared=_SharedView(), seed=seed + worker_id + epoch * 7919)
         np.random.seed(seed + worker_id + epoch * 7919)
         for ex in ds:
-            q.put(ex)
+            # daemon children survive a SIGKILLed/wedged parent (init adopts
+            # them); seen live as orphan workers pinning ~400 MB + 1% CPU
+            # each for hours on a 1-core host. Bounded put so a full queue
+            # can't mask the orphan check.
+            while True:
+                if os.getppid() == 1:
+                    return
+                try:
+                    q.put(ex, timeout=5.0)
+                    break
+                except queue_mod.Full:
+                    continue
         epoch += 1
         if test:
             q.put(None)  # epoch sentinel for finite test iteration
