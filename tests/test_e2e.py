@@ -188,6 +188,48 @@ def test_data_parallel_windows_matches_single_device(args, wav):
         assert [str(e) for e in e0] == [str(e) for e in e1]
 
 
+def test_window_bucketing_preserves_streams(args, wav, monkeypatch):
+    """Padding the window batch to a bucket size (processor._bucket_windows)
+    must not change any real row's events: padded rows duplicate row 0 and
+    are dropped on return; per-row key derivation keeps sampling exact."""
+    import dataclasses
+    from beatheritage_tpu.inference import processor as proc_mod
+    from beatheritage_tpu.inference.pipeline import (build_configs,
+                                                     load_model,
+                                                     load_tokenizer)
+    from beatheritage_tpu.inference.preprocessor import Preprocessor
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True)
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    gen_cfg, _ = build_configs(base)
+    pre = Preprocessor(base, parallel=True)
+    windows, starts, song_len = pre.segment(pre.load(wav))
+    # force a non-bucket count so padding actually engages (3 -> 4)
+    n = 3 if windows.shape[0] >= 3 else windows.shape[0]
+    sequences = (windows[:n], starts[:n], song_len)
+    assert proc_mod._bucket_windows(3) == 4
+    assert proc_mod._bucket_windows(1) == 1
+    assert proc_mod._bucket_windows(7) == 8
+
+    outs = {}
+    for bucketed in (False, True):
+        if not bucketed:
+            monkeypatch.setattr(proc_mod, "_bucket_windows", lambda b: b)
+        else:
+            monkeypatch.undo()
+        proc = Processor(base, params, tok, verbose=False)
+        events, _ = zip(*proc.generate(
+            sequences=sequences, generation_config=gen_cfg,
+            in_context=base.in_context, out_context=base.output_type,
+            verbose=False))
+        outs[bucketed] = events
+
+    for (e0, e1) in zip(outs[False], outs[True]):
+        assert [str(e) for e in e0] == [str(e) for e in e1]
+
+
 def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
     """Parallel mode runs ONE decode for all out-contexts (reference
     processor.py:366 generate_parallel): the stream carries every context
