@@ -179,5 +179,6 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
 
 def _note_fallback(reason: str) -> None:
     _FALLBACKS["count"] += 1
+    _FALLBACKS["last_reason"] = reason
     logger.warning("aot_call fallback #%d to plain jit: %s",
                    _FALLBACKS["count"], reason)

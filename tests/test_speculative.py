@@ -121,6 +121,7 @@ def test_aot_executable_cache_roundtrip(setup, tmp_path):
     settings = SamplerSettings(do_sample=False)
     key = jax.random.PRNGKey(1)
 
+    aot._FALLBACKS["count"] = 0
     out1 = aot.aot_call(generate, str(tmp_path), params, dims, settings,
                         tables, enc, prompt, mask, eos_mask, key,
                         max_len=48, dtype=jnp.float32)
@@ -132,3 +133,26 @@ def test_aot_executable_cache_roundtrip(setup, tmp_path):
                         max_len=48, dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(out1["tokens"]),
                                   np.asarray(out2["tokens"]))
+    # the loaded-exe path must never fall back for CONVENTION reasons
+    # (executables accept dynamic-only inputs; statics are stripped). A
+    # placement fallback is expected under the virtual test mesh, where
+    # inputs are not pre-placed onto the 8 devices.
+    assert "convention" not in aot._FALLBACKS.get("last_reason", "")
+
+
+def test_aot_strip_statics_matches_jit_info(setup):
+    """_strip_statics drops exactly the jit wrapper's declared statics."""
+    from beatheritage_tpu.decode import aot
+
+    cfg, tok, dims, params, tables = setup
+    enc, prompt, mask = _inputs(cfg, tok, dims)
+    eos_mask = jnp.zeros((tok.vocab_size_out,), bool).at[tok.eos_id].set(True)
+    settings = SamplerSettings(do_sample=False)
+    key = jax.random.PRNGKey(1)
+    args = (params, dims, settings, tables, enc, prompt, mask, eos_mask, key)
+    kwargs = dict(max_len=48, dtype=jnp.float32)
+    dyn_args, dyn_kwargs = aot._strip_statics(generate, args, kwargs)
+    # dims/settings/tables are static_argnames of engine.generate
+    assert len(dyn_args) == len(args) - 3
+    assert params is dyn_args[0] and enc is dyn_args[1]
+    assert dyn_kwargs == {}  # max_len and dtype are static
