@@ -62,7 +62,13 @@ def metrics(paths: list[Path], corpus_sp: np.ndarray, cs: float = 4.0) -> dict:
         n_pts += len(pts)
         n_off += int(np.sum((pts[:, 0] < 0) | (pts[:, 0] > 512)
                             | (pts[:, 1] < 0) | (pts[:, 1] > 384)))
-        n_grid += int(np.sum((pts[:, 0] % 32 == 0) & (pts[:, 1] % 32 == 0)))
+        if len(pts):
+            # lattice concentration at ANY offset: the decode emits a 32 px
+            # grid SHIFTED by precision//2 (processor._rescale_positions),
+            # so a plain %32==0 test reads 0 on coarse outputs
+            mod = np.stack([pts[:, 0] % 32, pts[:, 1] % 32], 1).astype(int)
+            _, counts = np.unique(mod, axis=0, return_counts=True)
+            n_grid += int(counts.max())
         near = (sp > 0.5) & (sp < 0.8 * radius)
         n_overlap += int(np.sum(near))
         n_pairs += len(sp)
