@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     from ..train.checkpoints import restore_train_state
 
     cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
+    from ..parallel.mesh import apply_device
+    apply_device(cfg.device)
 
     # multi-host bootstrap (no-op single-process); must precede backend use
     from ..parallel import initialize_distributed

@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     from ..train.optim import build_schedule
 
     cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
+    from ..parallel.mesh import apply_device  # noqa: PLC0415
+    apply_device(cfg.device)
     tokenizer = Tokenizer(cfg)
     if cfg.data.train_dataset_path:
         tokenizer.load_dataset_indices(load_mmrs_metadata(cfg.data.train_dataset_path))

@@ -33,11 +33,13 @@ def main(argv=None) -> int:
     from ..diffusion.tokenizer import DiffusionTokenizer
     from ..models.dit import (DiTDims, dit_forward, init_dit_params,
                               sinusoidal_embedding)
-    from ..parallel.mesh import batch_sharding, build_mesh, replicated
+    from ..parallel.mesh import (apply_device, batch_sharding, build_mesh,
+                                 replicated)
     from ..train.optim import build_schedule
 
     cfg = load_config(DiffusionTrainConfig, "diffusion", ns.config_name,
                       overrides=ns.overrides)
+    apply_device(cfg.device)
     tokenizer = DiffusionTokenizer(cfg)
     dims = DiTDims.from_name(cfg.model.model,
                              context_size=cfg.model.context_size,

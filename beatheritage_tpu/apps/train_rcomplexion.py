@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     from ..train.optim import build_schedule
 
     cfg = load_config(TrainConfig, "train", ns.config_name, overrides=ns.overrides)
+    from ..parallel.mesh import apply_device  # noqa: PLC0415
+    apply_device(cfg.device)
     tokenizer = Tokenizer(cfg)
     parser_obj = BeatmapParser(cfg, tokenizer)
     dims = RComplexionDims(vocab_size_in=tokenizer.vocab_size_in,

@@ -9,9 +9,26 @@ bootstrap with `jax.distributed.initialize` over DCN before mesh creation.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def apply_device(device: str) -> None:
+    """Honor cfg.device on hosts whose site hooks force JAX_PLATFORMS.
+
+    The env var is captured as the jax config default at import time, and
+    site customization (e.g. a TPU-tunnel register hook) can re-assert a
+    device platform even when the caller exported JAX_PLATFORMS=cpu —
+    after import, only jax.config wins. ''/'auto'/'tpu' keep the ambient
+    default; anything else ('cpu') is forced explicitly. Without this, a
+    cfg.device=cpu training app dials the TPU backend, contending with (or
+    hanging on) whatever owns the chip."""
+    if device and device not in ("auto", "tpu"):
+        os.environ["JAX_PLATFORMS"] = device
+        jax.config.update("jax_platforms", device)
 
 
 def build_mesh(data: int = -1, model: int = 1,

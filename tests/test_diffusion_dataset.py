@@ -128,7 +128,7 @@ def test_trainer_smoke_and_resume(cfg, corpus, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
     common = [
         sys.executable, "-m", "beatheritage_tpu.apps.train_diffusion",
-        "-cn", "tiny",
+        "-cn", "tiny", "device=cpu",  # env alone loses to the site hook
         f"data.train_dataset_path={corpus}",
         f"checkpoint_path={ckpt}",
         "checkpoint.every_steps=2", "logging.every_steps=1",
