@@ -449,6 +449,14 @@ class InferenceConfig:
     # (reference diffusion_pipeline.py:203 applies it per step via
     # denoised_fn; the in-painting projection still runs per step on device)
     slider_fix_steps: int = 5
+    # when refining coarse decode positions (random_init=false), enter the
+    # reverse chain at this respaced step instead of the top. The coarse
+    # input is a lightly-quantized x0, not an x_T: fed to the top of the
+    # chain it gets re-noised and the model REGENERATES rather than refines
+    # (measured on DiT-B: RMS-to-ground-truth 22.4 px entering at 20/20
+    # respaced steps vs 9.5 px at 4/20, with ground-truth-level spacing and
+    # preserved stacks). 0 = full chain (the reference's behavior).
+    refine_entry: int = 0
 
     # BeatHeritage V1 enhancement layer (inference/enhance.py)
     advanced_features: AdvancedFeaturesConfig = field(

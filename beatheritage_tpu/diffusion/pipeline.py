@@ -26,7 +26,7 @@ from ..models.dit import (
     sinusoidal_embedding,
 )
 from ..osu.geometry import SliderPath
-from .sampler import p_sample_loop, p_sample_segment
+from .sampler import p_sample_segment
 from .schedule import DiffusionSchedule
 from .tokenizer import DiffusionTokenizer
 
@@ -87,6 +87,7 @@ class DiffusionPipeline:
         self.timesteps = args.timesteps
         self.cfg_scale = args.diff_cfg_scale
         self.slider_fix_steps = getattr(args, "slider_fix_steps", 5)
+        self.refine_entry = getattr(args, "refine_entry", 0)
         self.refine_iters = args.refine_iters
         self.random_init = args.random_init
         self.types_first = args.train.data.types_first
@@ -371,6 +372,11 @@ class DiffusionPipeline:
         if chunk_sliders:
             x0 = host_fix_slider_ends(x0)
 
+        # refinement enters the chain low (see InferenceConfig.refine_entry)
+        entry = schedule.num_steps
+        if not self.random_init and self.refine_entry:
+            entry = max(1, min(int(self.refine_entry), entry))
+
         if chunk_sliders and callbacks_ok:
             mask_j = jnp.asarray(mask)
             z_ref_j = jnp.asarray(z_ref)
@@ -386,8 +392,9 @@ class DiffusionPipeline:
                                        jnp.asarray(c_part), y, self.cfg_scale,
                                        attn_mask=jnp.asarray(band))
 
-            samples = np.asarray(p_sample_loop(
+            samples = np.asarray(p_sample_segment(
                 schedule, model_fn, jnp.asarray(x0), self._next_key(),
+                jnp.arange(entry - 1, -1, -1),
                 clip_denoised=True, denoised_fn=denoised_fn))
         else:
             # ONE padded jitted program for every chunk of every song (see
@@ -414,16 +421,15 @@ class DiffusionPipeline:
             band_p = jnp.asarray(band_p)
 
             seg = self._unified_sampler(schedule)
-            n = schedule.num_steps
             if chunk_sliders:
                 every = max(int(self.slider_fix_steps), 1)
                 # equalize segment lengths -> at most two program shapes
-                n_segs = max(1, -(-n // every))
-                every = -(-n // n_segs)
+                n_segs = max(1, -(-entry // every))
+                every = -(-entry // n_segs)
             else:
-                every = n
+                every = entry
             x = jnp.asarray(pad_t(x0))
-            t_hi = n
+            t_hi = entry
             while t_hi > 0:
                 t_lo = max(0, t_hi - every)
                 ts = jnp.arange(t_hi - 1, t_lo - 1, -1)

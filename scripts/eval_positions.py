@@ -56,6 +56,7 @@ def wasserstein_1d(a: np.ndarray, b: np.ndarray) -> float:
 def metrics(paths: list[Path], corpus_sp: np.ndarray, cs: float = 4.0) -> dict:
     radius = 54.4 - 4.48 * cs
     all_sp, n_overlap, n_pairs, n_off, n_pts, n_grid = [], 0, 0, 0, 0, 0
+    n_stacks = 0
     for p in paths:
         pts, sp = positions_and_spacings(p)
         all_sp.append(sp)
@@ -69,8 +70,15 @@ def metrics(paths: list[Path], corpus_sp: np.ndarray, cs: float = 4.0) -> dict:
             mod = np.stack([pts[:, 0] % 32, pts[:, 1] % 32], 1).astype(int)
             _, counts = np.unique(mod, axis=0, return_counts=True)
             n_grid += int(counts.max())
-        near = (sp > 0.5) & (sp < 0.8 * radius)
+        # <4 px = intentional stack: the synth corpus stacks objects at
+        # EXACTLY the same position; a continuous refiner renders the same
+        # stack with sub-grid jitter, and a 0.5 px stack threshold
+        # reclassified 20% of pairs as "overlaps" (measured on set0186:
+        # 31/151 GT pairs are exact stacks)
+        near = (sp > 4.0) & (sp < 0.8 * radius)
         n_overlap += int(np.sum(near))
+        n_stack = int(np.sum(sp <= 4.0))
+        n_stacks += n_stack
         n_pairs += len(sp)
     sp = np.concatenate(all_sp) if all_sp else np.zeros(0)
     return {
@@ -78,6 +86,7 @@ def metrics(paths: list[Path], corpus_sp: np.ndarray, cs: float = 4.0) -> dict:
         "spacing_wasserstein_px": round(wasserstein_1d(sp, corpus_sp), 2),
         "mean_spacing_px": round(float(np.mean(sp)), 1) if len(sp) else None,
         "overlap_rate": round(n_overlap / max(n_pairs, 1), 4),
+        "stack_rate": round(n_stacks / max(n_pairs, 1), 4),
         "offscreen_rate": round(n_off / max(n_pts, 1), 4),
         "grid32_rate": round(n_grid / max(n_pts, 1), 4),
     }
