@@ -189,6 +189,32 @@ def test_pipeline_fills_positions():
     assert all(-256 <= v <= 640 for v in ys)
 
 
+def test_pipeline_refine_entry_path():
+    """refine_entry > 0 enters the reverse chain low (dequantization regime)
+    and still produces in-range positions for every object."""
+    args = load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "diff_cfg_scale=1.0", "max_seq_len=32", "overlap_buffer=4",
+        "timesteps=[8]", "refine_entry=2",
+    ])
+    events = [
+        Event(EventType.CIRCLE), Event(EventType.TIME_SHIFT, 1000),
+        Event(EventType.DISTANCE, 50),
+        Event(EventType.CIRCLE), Event(EventType.TIME_SHIFT, 1500),
+        Event(EventType.DISTANCE, 80),
+    ]
+    timing = [TimingPoint(offset=0.0, ms_per_beat=500.0)]
+    pipeline = DiffusionPipeline(args)
+    assert pipeline.refine_entry == 2
+    out = pipeline.generate(events, __import__(
+        "beatheritage_tpu.inference.processor", fromlist=["GenerationConfig"]
+    ).GenerationConfig(), timing, verbose=False)
+    xs = [e.value for e in out if e.type == EventType.POS_X]
+    ys = [e.value for e in out if e.type == EventType.POS_Y]
+    assert len(xs) == 2 and len(ys) == 2
+    assert all(-256 <= v <= 768 for v in xs)
+    assert all(-256 <= v <= 640 for v in ys)
+
+
 def test_load_diffusion_model_with_refine_ckpt(tmp_path):
     """diff_ckpt / diff_refine_ckpt load orbax params; refine gated on
     position_refinement."""
