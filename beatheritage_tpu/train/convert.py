@@ -613,3 +613,45 @@ def load_reference_checkpoint(path, dims: ModelDims,
                                        validate=validate)
         return params
     raise FileNotFoundError(f"no checkpoint file found under {path}")
+
+
+def main(argv=None) -> int:
+    """CLI: convert a reference PyTorch checkpoint to an orbax params dir.
+
+    python -m beatheritage_tpu.train.convert --ckpt <dir|file> \
+        --config v30 --out /path/to/ckpt_dir [--backbone ropewhisper]
+    """
+    import argparse  # noqa: PLC0415
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True,
+                    help="reference checkpoint dir (pytorch_model.bin / "
+                         "model.safetensors) or file")
+    ap.add_argument("--config", default="v30",
+                    help="train config whose dims match the checkpoint")
+    ap.add_argument("--out", required=True, help="orbax output directory")
+    ap.add_argument("--backbone", default=None,
+                    help="ropewhisper|nwhisper|t5|whisper (auto-detected)")
+    ap.add_argument("--no-validate", action="store_true")
+    ns = ap.parse_args(argv)
+
+    from ..config import TrainConfig, load_config  # noqa: PLC0415
+    from ..models import ModelDims  # noqa: PLC0415
+    from ..tokenizer import Tokenizer  # noqa: PLC0415
+    from .checkpoints import save_params  # noqa: PLC0415
+
+    cfg = load_config(TrainConfig, "train", ns.config)
+    tokenizer = Tokenizer(cfg)
+    dims = ModelDims.from_config(cfg, tokenizer)
+    params = load_reference_checkpoint(ns.ckpt, dims, backbone=ns.backbone,
+                                       validate=not ns.no_validate)
+    save_params(ns.out, params)
+    tokenizer.save_pretrained(ns.out)
+    print(f"converted {ns.ckpt} -> {ns.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())
