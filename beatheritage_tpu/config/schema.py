@@ -84,6 +84,11 @@ class DataConfig:
     tgt_seq_len: int = 2048
     sample_rate: int = 16000
     hop_length: int = 128
+    # ship train audio windows as int16 PCM (half the host->device bytes;
+    # the mel frontend converts on device). Audio sources are 16-bit, so
+    # the quantization is at most 3e-5 — but off by default to keep
+    # numerics byte-stable for parity tests
+    pcm_int16: bool = False
     cycle_length: int = 16
     per_track: bool = True
     only_last_beatmap: bool = False

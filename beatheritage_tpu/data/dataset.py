@@ -502,7 +502,12 @@ class BeatmapSequenceGenerator:
             n = min(self.frame_seq_len, len(frames))
             padded[:n] = frames[:n]
             frames = padded
-        sequence["frames"] = frames.reshape(-1)
+        frames = frames.reshape(-1)
+        if getattr(self.args, "pcm_int16", False):
+            # int16 PCM transfer: mel_from_config converts back on device
+            frames = np.clip(np.round(frames * 32768.0),
+                             -32768, 32767).astype(np.int16)
+        sequence["frames"] = frames
         return sequence
 
     def _pad_and_split_token_sequence(self, sequence):

@@ -132,6 +132,10 @@ def mel_spectrogram(samples: jnp.ndarray, *, sample_rate: int = 16000,
 def mel_from_config(samples: jnp.ndarray, spec_cfg, dtype=jnp.float32) -> jnp.ndarray:
     """Apply a SpectrogramConfig. 'pallas' falls back to matmul until the
     fused kernel (ops.pallas.mel) takes over on TPU."""
+    if samples.dtype == jnp.int16:
+        # loaders may ship int16 PCM to halve host->device transfer
+        # (DataConfig.pcm_int16); convert on device where FLOPs are free
+        samples = samples.astype(jnp.float32) / 32768.0
     impl = spec_cfg.implementation
     stft = "fft" if impl == "xla_fft" else "matmul"
     if impl == "pallas":

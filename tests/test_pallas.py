@@ -202,3 +202,20 @@ class TestFusedLayout:
                         v.astype(jnp.float32), h, True)
         np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                    np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_mel_from_config_accepts_int16_pcm():
+    """DataConfig.pcm_int16 ships int16 audio; the mel frontend must convert
+    on device and match the f32 path within quantization tolerance."""
+    from beatheritage_tpu.config.schema import SpectrogramConfig
+    from beatheritage_tpu.ops.mel import mel_from_config
+
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal((2, 16000)) * 0.2, -1, 1).astype(np.float32)
+    xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    cfg = SpectrogramConfig()
+    ref = mel_from_config(jnp.asarray(x), cfg)
+    out = mel_from_config(jnp.asarray(xi), cfg)
+    assert out.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
