@@ -41,6 +41,13 @@ def main(argv=None) -> int:
                       overrides=ns.overrides)
     apply_device(cfg.device)
     tokenizer = DiffusionTokenizer(cfg)
+    if cfg.data.train_dataset_path:
+        # style/mapper/descriptor conditioning tables from the corpus
+        # (reference osu_diffusion trains class-conditional); class_size
+        # below depends on these, so load BEFORE building dims
+        from ..data.dataset import load_mmrs_metadata  # noqa: PLC0415
+        tokenizer.load_dataset_indices(
+            load_mmrs_metadata(cfg.data.train_dataset_path), cfg)
     dims = DiTDims.from_name(cfg.model.model,
                              context_size=cfg.model.context_size,
                              class_size=max(tokenizer.num_tokens, 1))

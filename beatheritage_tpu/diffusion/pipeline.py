@@ -10,6 +10,7 @@ on host through jax.pure_callback; everything else is one jitted scan).
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 from typing import Optional
 
 import jax
@@ -70,6 +71,12 @@ class DiffusionPipeline:
     def __init__(self, args, params=None, tokenizer: Optional[DiffusionTokenizer] = None,
                  refine_params=None):
         self.args = args
+        if tokenizer is None and args.diff_ckpt:
+            # prefer the table saved beside the checkpoint: class_size must
+            # match the trained params, not whatever the live config says
+            tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+            if tok_file.exists():
+                tokenizer = DiffusionTokenizer.from_pretrained(tok_file)
         self.tokenizer = tokenizer or DiffusionTokenizer(args.diffusion)
         self.dims = DiTDims.from_name(
             args.diffusion.model.model,

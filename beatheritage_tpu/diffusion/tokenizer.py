@@ -93,6 +93,36 @@ class DiffusionTokenizer:
     def cs_unk(self) -> int:
         return self.num_tokens - 1
 
+    def load_dataset_indices(self, metadata, args=None) -> None:
+        """Populate style/mapper/descriptor tables from MMRS metadata,
+        honoring the DiffusionDataConfig *_class flags (reference
+        osu_diffusion/utils/tokenizer.py builds these from the training
+        data; without them the refiner can only be conditioned on
+        difficulty/CS). The last index of each block is the unknown class."""
+        d = args.data if args is not None else None
+        flat = metadata.reset_index()
+        if d is None or d.beatmap_class:
+            self.beatmap_idx = {int(k): int(v) for k, v in
+                                flat.set_index("Id")["BeatmapIdx"].items()}
+            self.num_classes = (max(self.beatmap_idx.values()) + 2
+                                if self.beatmap_idx else 0)
+        if d is None or d.mapper_class:
+            self.beatmap_mapper = {int(k): int(v) for k, v in
+                                   flat.set_index("Id")["UserId"].items()}
+            unique_users = sorted({int(u) for u in metadata["UserId"]})
+            self.mapper_idx = {u: i for i, u in enumerate(unique_users)}
+            self.num_mapper_classes = len(unique_users) + 1  # + unk
+        if (d is None or d.descriptor_class) and "OmdbTags" in metadata:
+            tags = metadata["OmdbTags"].explode().dropna().unique()
+            for name in tags:
+                if name not in self.descriptor_idx:
+                    self.descriptor_idx[name] = len(self.descriptor_idx)
+            self.beatmap_descriptors = {
+                int(k): [self.descriptor_idx[t] for t in v]
+                for k, v in flat.set_index("Id")["OmdbTags"].items()
+                if np.count_nonzero(v)}
+            self.num_descriptor_classes = len(self.descriptor_idx) + 1  # + unk
+
     # -- persistence -------------------------------------------------------------
 
     def state_dict(self) -> dict:

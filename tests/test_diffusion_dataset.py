@@ -103,6 +103,27 @@ def test_dataset_shapes_and_cache_determinism(cfg):
             np.testing.assert_array_equal(a[key], b[key])
 
 
+def test_tokenizer_dataset_indices(cfg, corpus):
+    """load_dataset_indices builds style/mapper/descriptor blocks from the
+    corpus metadata (reference osu_diffusion trains class-conditional)."""
+    from beatheritage_tpu.data.dataset import load_mmrs_metadata
+
+    md = load_mmrs_metadata(corpus)
+    tok = DiffusionTokenizer(cfg)
+    base = tok.num_tokens  # diff + cs blocks only
+    tok.load_dataset_indices(md, cfg)
+    # corpus fixture: 2 mapsets x 2 maps, 2 unique mappers
+    assert tok.num_mapper_classes == 2 + 1  # + unk
+    assert tok.num_tokens > base
+    assert tok.encode_mapper_id(1001) != tok.encode_mapper_id(1002)
+    assert tok.encode_mapper_id(999999) == tok.mapper_unk
+    # round-trips through the json state
+    tok2 = DiffusionTokenizer(cfg)
+    tok2.load_state_dict(tok.state_dict())
+    assert tok2.num_tokens == tok.num_tokens
+    assert tok2.encode_mapper_id(1001) == tok.encode_mapper_id(1001)
+
+
 def test_double_time_matches_parsing_at_speed(cfg, corpus):
     """Rescaling the cached time column == re-parsing at speed 1.5."""
     bm = Beatmap.from_path(corpus / "data" / "set1" / "map100.osu")
