@@ -166,7 +166,12 @@ class DiffusionDataset:
             v[tok.encode_mapper_id(beatmap_meta.get("UserId", -1))
               if keep(a.mapper_dropout_prob) else tok.mapper_unk] = 1
         if tok.num_descriptor_classes > 0:
-            v[tok.descriptor_unk] = 1
+            descs = tok.beatmap_descriptors.get(beatmap_id)
+            if descs and keep(a.descriptor_dropout_prob):
+                for idx in descs:
+                    v[tok.encode_descriptor_idx(idx)] = 1
+            else:
+                v[tok.descriptor_unk] = 1
         if tok.num_cs_classes > 0:
             v[tok.encode_cs(circle_size)
               if keep(a.cs_dropout_prob) else tok.cs_unk] = 1
