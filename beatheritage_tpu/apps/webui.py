@@ -179,6 +179,27 @@ def list_context_options(config_name: str) -> list[str]:
         return []
 
 
+def model_capabilities(config_name: str) -> dict:
+    """Per-model UI capabilities, introspected from the model's own train
+    config instead of the reference's hardcoded JS table
+    (static/app.js modelCapabilities): which gamemodes the model was
+    trained on, and whether year/hitsound/descriptor conditioning exists."""
+    try:
+        from ..config import InferenceConfig, load_config  # noqa: PLC0415
+        args = load_config(InferenceConfig, "inference", config_name)
+        d = args.train.data
+        return {
+            "supported_gamemodes": [int(g) for g in (d.gamemodes or [0])],
+            "supports_year": bool(d.add_year_token),
+            "supports_hitsounds": bool(d.add_hitsounded_token),
+            "supports_descriptors": bool(d.add_descriptors),
+            "supports_mapper": True,
+            "in_context_options": list_context_options(config_name),
+        }
+    except Exception:
+        return {}
+
+
 # form field -> hydra-style override key, passed through verbatim when set
 SCALAR_FIELDS = (
     "audio_path", "output_path", "beatmap_path", "gamemode", "difficulty",
@@ -274,6 +295,8 @@ class Handler(BaseHTTPRequestHandler):
             self._json(list_descriptors(q.get("config", ["default"])[0]))
         elif path == "/context_options":
             self._json(list_context_options(q.get("config", ["default"])[0]))
+        elif path == "/capabilities":
+            self._json(model_capabilities(q.get("config", ["default"])[0]))
         elif path == "/maimod_result":
             if MAIMOD_JSON.is_file():
                 self._send(200, MAIMOD_JSON.read_text(), "application/json")

@@ -41,6 +41,7 @@ async function loadDescriptors() {
   ).json();
   renderDescriptors();
   await loadContextOptions();
+  await loadCapabilities();
 }
 
 function renderDescriptors() {
@@ -80,6 +81,43 @@ async function loadContextOptions() {
   }
   $("in-context-options-box").style.display = opts.length ? "" : "none";
 }
+
+// ---- per-model capabilities (reference app.js modelCapabilities, but
+// introspected from the model's train config via /capabilities) --------------
+
+let CAPS = {};
+async function loadCapabilities() {
+  const cfg = $("model").value;
+  try {
+    CAPS = await (
+      await fetch("/capabilities?config=" + encodeURIComponent(cfg))
+    ).json();
+  } catch (e) {
+    CAPS = {};
+  }
+  // gamemode options the model was trained on
+  const gmSel = $("gamemode");
+  if (gmSel && CAPS.supported_gamemodes) {
+    for (const opt of gmSel.options) {
+      if (opt.value === "") continue;
+      const ok = CAPS.supported_gamemodes.includes(+opt.value);
+      opt.hidden = !ok;
+      if (!ok && gmSel.value === opt.value) gmSel.value = "";
+    }
+  }
+  // conditioning fields the model has no tokens for
+  const capGroups = {
+    "group-year": CAPS.supports_year,
+    "group-hitsounded": CAPS.supports_hitsounds,
+  };
+  for (const [id, ok] of Object.entries(capGroups)) {
+    const el = $(id);
+    if (el) el.style.display = ok === false ? "none" : "";
+  }
+  // (descriptor visibility already follows the per-model /descriptors list)
+  updateVisibility();
+}
+// (model changes reach here through loadDescriptors -> loadCapabilities)
 
 // ---- per-gamemode visibility (reference app.js updateVisibility) -----------
 

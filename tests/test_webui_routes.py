@@ -157,3 +157,17 @@ def test_run_log_is_teed_to_log_dir(server):
     assert log is not None and log.parent == tmp / "logs"
     assert log.read_text() == collected
     assert get(base, "/logs") == [str(log)]
+
+
+def test_capabilities_reflect_train_config(server):
+    """/capabilities introspects the model's train config (reference
+    static/app.js hardcodes a modelCapabilities table per config)."""
+    base, _ = server
+    caps = get(base, "/capabilities?config=tiny")
+    assert set(caps["supported_gamemodes"]) == {0, 1, 2, 3}
+    assert caps["supports_year"] is True
+    assert caps["supports_hitsounds"] is True
+    assert caps["supports_descriptors"] is True
+    assert isinstance(caps["in_context_options"], list)
+    # unknown config -> empty capabilities rather than a 500
+    assert get(base, "/capabilities?config=definitely_missing") == {}
