@@ -977,6 +977,69 @@ class Processor:
             self._generate_sequential(sequences, in_data, out_data, cond,
                                       req_special, song_length, verbose)
 
+        return self._finalize_out_data(
+            out_data, out_context, generation_config, beatmap_path,
+            extra_in_context, song_length)
+
+    def generate_many(self, *, jobs, in_context=None, out_context=None,
+                      verbose=True) -> list[list[tuple[list[Event], list[int]]]]:
+        """Batch several independent generation passes into shared engine
+        batches: different songs (serving), or offset passes over one song
+        (super timing). Every pass's windows are flattened into one row
+        stream and chunked at max_batch_size, so N small passes fill the
+        device batch instead of issuing N under-sized decodes.
+
+        Each job is a dict with keys: ``sequences``, ``generation_config``,
+        and optionally ``beatmap_path`` / ``extra_in_context``. Returns one
+        generate() result per job, in order. Parallel mode only; sequential
+        mode (windows chained through decoder prefill) cannot cross-batch
+        and falls back to per-job generate()."""
+        if not self.parallel:
+            return [self.generate(in_context=in_context,
+                                  out_context=out_context, verbose=verbose,
+                                  **job) for job in jobs]
+        prepared = []
+        all_rows: list[dict] = []
+        for job in jobs:
+            sequences = job["sequences"]
+            gc = job["generation_config"]
+            beatmap_path = job.get("beatmap_path")
+            extra_in_context = job.get("extra_in_context")
+            gen_in, gen_out, req_special = self._get_viable_template(
+                in_context=in_context, out_context=out_context,
+                extra_in_context=extra_in_context, gamemode=gc.gamemode)
+            oc = out_context or [ContextType.MAP]
+            song_length = sequences[2]
+            in_data = self.get_in_context(
+                in_context=gen_in, beatmap_path=beatmap_path,
+                extra_in_context=extra_in_context, song_length=song_length)
+            out_data = self.get_out_context(
+                out_context=gen_out, generation_config=gc,
+                given_context=in_context or [], beatmap_path=beatmap_path,
+                extra_in_context=extra_in_context, song_length=song_length,
+                verbose=verbose)
+            cond = self.model_conditioning(gc)
+            rows = self._parallel_rows(sequences, in_data, out_data, cond,
+                                       req_special, song_length)
+            prepared.append((job, oc, out_data, rows, song_length))
+            all_rows.extend(rows)
+
+        all_tokens = self._decode_rows(all_rows, verbose=verbose)
+
+        results, i = [], 0
+        for job, oc, out_data, rows, song_length in prepared:
+            self._split_parallel_tokens(all_tokens[i:i + len(rows)], rows,
+                                        out_data)
+            i += len(rows)
+            results.append(self._finalize_out_data(
+                out_data, oc, job["generation_config"],
+                job.get("beatmap_path"), job.get("extra_in_context"),
+                song_length))
+        return results
+
+    def _finalize_out_data(self, out_data, out_context, generation_config,
+                           beatmap_path, extra_in_context,
+                           song_length) -> list[tuple[list[Event], list[int]]]:
         for context in out_data:
             context["event_times"] = []
             update_event_times(context["events"], context["event_times"],
@@ -1075,58 +1138,74 @@ class Processor:
         at split time so given timing/kiai is never re-added from the
         prompt; without add_out_context_types only the single head context
         is split out, as in the reference."""
+        rows = self._parallel_rows(sequences, in_data, out_data, cond,
+                                   req_special, song_length)
+        all_tokens = self._decode_rows(rows, verbose=verbose)
+        self._split_parallel_tokens(all_tokens, rows, out_data)
+
+    def _parallel_rows(self, sequences, in_data, out_data, cond, req_special,
+                       song_length) -> list[dict]:
+        """Assemble one self-contained decode row per window: audio, prompt,
+        negative prompt, and per-row encoder conditioning. Rows from
+        different passes/songs can be freely interleaved in one batch."""
         windows, window_times = sequences[0], sequences[1]
-        n = len(windows)
-        song_positions = [
-            self._window_song_position(float(window_times[w]), song_length)[0]
-            for w in range(n)]
-        prompts, uncond_prompts = [], []
-        for w in range(n):
+        rows: list[dict] = []
+        for w in range(len(windows)):
             frame_time = float(window_times[w])
             cp, up = self.get_prompts(
                 self.prepare_context_sequences(in_data, frame_time, False,
                                                req_special),
                 self.prepare_context_sequences(out_data[:1], frame_time, True,
                                                req_special))
-            prompts.append(cp)
-            uncond_prompts.append(up)
+            row_cond = {k: v[0] for k, v in cond.items()}
+            if self.do_song_position_embed:
+                row_cond["song_position"] = self._window_song_position(
+                    frame_time, song_length)[0]
+            rows.append({"window": np.asarray(windows[w]), "prompt": cp,
+                         "uncond_prompt": up, "cond": row_cond,
+                         "frame_time": frame_time})
+        return rows
 
-        max_p = max(len(p) for p in prompts)
+    def _decode_rows(self, rows: list[dict], verbose=False) -> list[np.ndarray]:
+        """Chunked batched decode over heterogeneous window rows. All chunks
+        share one prompt pad length (one compiled program); returns the
+        generated token array per row, in order."""
+        if not rows:
+            return []
+        max_p = max(len(r["prompt"]) for r in rows)
         if self.cfg_scale > 1:
-            max_p = max(max_p, max(len(p) for p in uncond_prompts))
+            max_p = max(max_p, max(len(r["uncond_prompt"]) for r in rows))
 
-        def stack(ps, max_p=max_p):
+        def stack(ps):
             arr = np.full((len(ps), max_p), self.tokenizer.pad_id, np.int32)
             for j, p in enumerate(ps):
                 arr[j, max_p - len(p):] = p
             return arr
 
-        cond_arr = stack(prompts)
-        uncond_arr = stack(uncond_prompts) if self.cfg_scale > 1 else None
-
         bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
         all_tokens: list[np.ndarray] = []
-        iterator = range(0, n, bsz)
+        iterator = range(0, len(rows), bsz)
         if verbose:
             from tqdm import tqdm  # noqa: PLC0415
             iterator = tqdm(list(iterator))
         for start in iterator:
-            stop = min(start + bsz, n)
-            wcond = {k: np.repeat(v, stop - start, axis=0)
-                     for k, v in cond.items()}
-            if self.do_song_position_embed:
-                wcond["song_position"] = np.stack(song_positions[start:stop])
-            results = self._dispatch(
-                windows[start:stop], wcond, cond_arr[start:stop],
-                uncond_arr[start:stop] if uncond_arr is not None else None,
-                0.0, 0.0, None)
-            all_tokens.extend(results)
+            chunk = rows[start:start + bsz]
+            frames = np.stack([r["window"] for r in chunk])
+            cond_arr = stack([r["prompt"] for r in chunk])
+            uncond_arr = (stack([r["uncond_prompt"] for r in chunk])
+                          if self.cfg_scale > 1 else None)
+            wcond = {k: np.stack([r["cond"][k] for r in chunk])
+                     for k in chunk[0]["cond"]}
+            all_tokens.extend(self._dispatch(
+                frames, wcond, cond_arr, uncond_arr, 0.0, 0.0, None))
+        return all_tokens
 
+    def _split_parallel_tokens(self, all_tokens, rows, out_data) -> None:
         tok = self.tokenizer
-        for w, seq in enumerate(all_tokens):
-            frame_time = float(window_times[w])
+        for row, seq in zip(rows, all_tokens):
+            frame_time = row["frame_time"]
             full = np.concatenate(
-                [np.asarray(prompts[w], np.int32),
+                [np.asarray(row["prompt"], np.int32),
                  np.asarray(seq, np.int32).reshape(-1)])
             if self.add_out_context_types:
                 for context in out_data:

@@ -58,23 +58,29 @@ class SuperTimingGenerator:
 
         if verbose:
             print("Generating timing")
-        iterator = range(self.iterations)
-        if verbose:
-            from tqdm import tqdm  # noqa: PLC0415
-            iterator = tqdm(list(iterator))
+        # All offset passes are independent: flatten every pass's windows
+        # into ONE row stream so the engine runs full max_batch_size batches
+        # across passes (generate_many) instead of N under-sized decodes —
+        # the reference loops one sequential pass at a time
+        # (super_timing_generator.py:41).
         rng = np.random.default_rng(self.args.seed if self.args.seed is not None else 0)
-        for _ in iterator:
+        jobs, offsets = [], []
+        for _ in range(self.iterations):
             half = int(self.miliseconds_per_sequence // 2)
             audio_offset = int(rng.integers(-half, half))
             begin_pad = max(0, audio_offset * self.sample_rate // MILISECONDS_PER_SECOND)
             begin_remove = max(0, -audio_offset * self.sample_rate // MILISECONDS_PER_SECOND)
             sequences = self.preprocessor.segment(audio[begin_remove:], begin_pad, 0)
-            events, _ = self.processor.generate(
-                sequences=sequences, generation_config=generation_config,
-                in_context=[ContextType.NONE],
-                out_context=[ContextType.MAP] if self.args.train.data.add_timing
-                else [ContextType.TIMING],
-                verbose=False)[0]
+            jobs.append({"sequences": sequences,
+                         "generation_config": generation_config})
+            offsets.append(audio_offset)
+        results = self.processor.generate_many(
+            jobs=jobs, in_context=[ContextType.NONE],
+            out_context=[ContextType.MAP] if self.args.train.data.add_timing
+            else [ContextType.TIMING],
+            verbose=verbose)
+        for audio_offset, result in zip(offsets, results):
+            events, _ = result[0]
             self._accumulate_votes(events, audio_offset, num_ms, beats_hist,
                                    measures_hist, timing_points_hist, tpbs,
                                    measure_counts)

@@ -21,7 +21,14 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     if not _LIB_PATH.exists():
-        return None
+        # Build on first use: the .so is not shipped in git or the wheel.
+        try:
+            from .build import build
+            build(verbose=False)
+        except Exception:
+            return None
+        if not _LIB_PATH.exists():
+            return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.bh_decode_wav.restype = ctypes.c_int
     lib.bh_decode_wav.argtypes = [

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -10,8 +11,11 @@ from pathlib import Path
 def build(verbose: bool = True) -> Path:
     src = Path(__file__).parent / "audio_native.cpp"
     out = Path(__file__).parent / "libbhaudio.so"
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(src), "-o", str(out)]
+    # Portable baseline for distributed wheels; override for a local tuned
+    # build with BH_NATIVE_MARCH=native.
+    march = os.environ.get("BH_NATIVE_MARCH", "x86-64-v2")
+    cmd = ["g++", "-O3", f"-march={march}", "-shared", "-fPIC",
+           "-std=c++17", str(src), "-o", str(out)]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

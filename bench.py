@@ -9,6 +9,23 @@ run reuses the cached program.
 Baseline (BASELINE.md north star): full-song (3 min) ranked-quality beatmap
 in <10 s on one v5e chip => 0.3 audio-min/sec. vs_baseline > 1 beats it.
 
+Resilience: the round-3 official record was a crash (rc=1, "Unable to
+initialize backend 'axon'") because the TPU tunnel relay had died and this
+script had no defense. Now the parent process never imports JAX: it probes
+the relay port with backoff, runs the measurement in a timed child
+subprocess, retries failed children, and ALWAYS prints exactly one JSON
+line (a diagnostic record with value 0.0 if the backend never comes up)
+and exits 0. No wedged processes are left behind: a timed-out child gets
+SIGTERM then SIGKILL by pid.
+
+Env knobs:
+  BENCH_BACKEND_WAIT   seconds to wait for the relay port (default 600)
+  BENCH_CHILD_TIMEOUT  per-attempt run timeout (default 2400: remote cold
+                       compiles take 10-15 min when the AOT cache is cold)
+  BENCH_MAX_ATTEMPTS   measurement attempts before giving up (default 3)
+  BENCH_FORCE_CPU=1    skip the relay probe and measure on CPU (smoke test
+                       only; reported with platform=cpu, never comparable)
+
 Prints ONE JSON line.
 """
 
@@ -16,20 +33,125 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import socket
+import subprocess
+import sys
 import time
 
-# persistent compile cache: the remote-compile tunnel takes minutes for the
-# decode loop; cache hits bring reruns down to seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The axon register hook dials a localhost relay whose stdio the driver
+# wires over vsock; when the relay is dead the port connection is refused.
+RELAY_PORTS = (8082, 8083, 8087)
+BASELINE_AUDIO_MIN_PER_SEC = 0.3  # 3-minute song in 10 s
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _relay_up(timeout: float = 2.0) -> bool:
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout):
+                return True
+        except OSError:
+            continue
+    return False
 
+
+def _diagnostic(reason: str, detail: dict) -> None:
+    detail = dict(detail)
+    detail["error"] = reason
+    # context for the record: the last in-round measurement on this config
+    detail.setdefault(
+        "last_in_round_measurement",
+        {"file": "BENCH_PREVIEW_r03.json", "value": 0.783,
+         "unit": "audio-min/s"})
+    print(json.dumps({
+        "metric": "audio_min_mapped_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "audio-min/s",
+        "vs_baseline": 0.0,
+        "detail": detail,
+    }))
+
+
+def main() -> int:
+    backend_wait = float(os.environ.get("BENCH_BACKEND_WAIT", "600"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "2400"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+
+    diags: dict = {"probe_seconds": 0.0, "attempts": []}
+
+    if not force_cpu:
+        t0 = time.monotonic()
+        delay = 5.0
+        while not _relay_up():
+            waited = time.monotonic() - t0
+            if waited >= backend_wait:
+                diags["probe_seconds"] = round(waited, 1)
+                _diagnostic(
+                    "TPU tunnel relay unreachable (connection refused on "
+                    f"127.0.0.1:{RELAY_PORTS}) after {waited:.0f}s of "
+                    "backoff probing; the driver-side relay process is not "
+                    "running", diags)
+                return 0
+            time.sleep(min(delay, backend_wait - waited))
+            delay = min(delay * 1.6, 60.0)
+        diags["probe_seconds"] = round(time.monotonic() - t0, 1)
+
+    env = dict(os.environ)
+    if force_cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BENCH_PLATFORM_NOTE"] = "cpu-smoke"
+
+    for attempt in range(1, max_attempts + 1):
+        started = time.monotonic()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, text=True)
+        try:
+            out, err = proc.communicate(timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            diags["attempts"].append({
+                "attempt": attempt, "outcome": "timeout",
+                "seconds": round(time.monotonic() - started, 1)})
+            continue
+        if proc.returncode == 0:
+            for line in reversed(out.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        json.loads(line)
+                    except ValueError:
+                        continue
+                    print(line)
+                    return 0
+            diags["attempts"].append({
+                "attempt": attempt, "outcome": "no-json",
+                "stdout_tail": out[-400:]})
+        else:
+            tail = (err or out or "")[-600:]
+            diags["attempts"].append({
+                "attempt": attempt, "outcome": f"rc={proc.returncode}",
+                "seconds": round(time.monotonic() - started, 1),
+                "stderr_tail": tail})
+            # Backend init failures are usually the relay flapping; give it
+            # a moment before retrying.
+            time.sleep(min(30.0 * attempt, 90.0))
+
+    _diagnostic(f"all {max_attempts} measurement attempts failed", diags)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Child: the actual measurement. Runs in its own process so a hung backend
+# cannot wedge the parent; the parent enforces the timeout and the retries.
+# ---------------------------------------------------------------------------
 
 DECODE_BUDGET = 2048  # new tokens per window (representative density)
 # Batched-serving scenario: 4 songs x 6 parallel-mode windows in one engine
@@ -38,16 +160,29 @@ DECODE_BUDGET = 2048  # new tokens per window (representative density)
 # because KV-cache reads grow with batch; single-song latency numbers live
 # in docs/ROUND_NOTES.md.
 N_WINDOWS = 24
-BASELINE_AUDIO_MIN_PER_SEC = 0.3  # 3-minute song in 10 s
 
 
-def main() -> None:
+def child() -> None:
+    # persistent compile cache: the remote-compile tunnel takes minutes for
+    # the decode loop; cache hits bring reruns down to seconds
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from beatheritage_tpu.config import TrainConfig, load_config
     from beatheritage_tpu.decode import SamplerSettings, TokenTables
     from beatheritage_tpu.decode.engine import generate as engine_generate
     from beatheritage_tpu.events import ContextType
     from beatheritage_tpu.models import ModelDims, encode, init_params
     from beatheritage_tpu.tokenizer import Tokenizer
+
+    platform = jax.devices()[0].platform
 
     cfg = load_config(TrainConfig, "train", "beatheritage_v1")
     tokenizer = Tokenizer(cfg)
@@ -100,6 +235,7 @@ def main() -> None:
         "vs_baseline": round(audio_min_per_sec / BASELINE_AUDIO_MIN_PER_SEC, 3),
         "detail": {
             "scenario": "batched serving: 4 songs x 6 parallel windows",
+            "platform": platform,
             "n_windows": N_WINDOWS,
             "window_seconds": round(window_seconds, 3),
             "audio_seconds": round(N_WINDOWS * window_seconds, 1),
@@ -112,4 +248,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child()
+    else:
+        sys.exit(main())

@@ -285,3 +285,42 @@ def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
     assert EventType.CIRCLE not in timing_types
     assert EventType.CIRCLE in map_types
     assert EventType.BEAT not in map_types
+
+
+def test_generate_many_matches_per_job_generate(args, wav):
+    """generate_many flattens several passes' windows into shared engine
+    batches (the super-timing fast path); with greedy decoding each job's
+    result must be identical to a standalone generate() call."""
+    import dataclasses
+    from beatheritage_tpu.inference.pipeline import (build_configs,
+                                                     load_model,
+                                                     load_tokenizer)
+    from beatheritage_tpu.inference.preprocessor import Preprocessor
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True, do_sample=False,
+                               num_beams=1, max_batch_size=4)
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    gen_cfg, _ = build_configs(base)
+    pre = Preprocessor(base, parallel=True)
+    audio = pre.load(wav)
+    # two offset passes, like the super-timing sweep
+    jobs = [
+        {"sequences": pre.segment(audio), "generation_config": gen_cfg},
+        {"sequences": pre.segment(audio[8000:], 4000, 0),
+         "generation_config": gen_cfg},
+    ]
+
+    proc = Processor(base, params, tok, verbose=False)
+    batched = proc.generate_many(jobs=jobs, in_context=base.in_context,
+                                 out_context=base.output_type, verbose=False)
+    for job, got in zip(jobs, batched):
+        solo = Processor(base, params, tok, verbose=False).generate(
+            sequences=job["sequences"], generation_config=gen_cfg,
+            in_context=base.in_context, out_context=base.output_type,
+            verbose=False)
+        assert len(solo) == len(got)
+        for (ev_b, t_b), (ev_s, t_s) in zip(got, solo):
+            assert [str(e) for e in ev_b] == [str(e) for e in ev_s]
+            assert list(t_b) == list(t_s)
