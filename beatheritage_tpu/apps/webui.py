@@ -424,6 +424,16 @@ class Handler(BaseHTTPRequestHandler):
             p.write_text(json.dumps(payload, indent=2))
             self._json({"success": True, "file_path": str(p),
                         "message": "Configuration saved successfully"})
+        elif path == "/delete_preset":
+            form = json.loads(body)
+            name = form.get("name") or ""
+            p = _preset_path(name)
+            if not name or not p.is_file():
+                self._json({"success": False, "error": "preset not found"},
+                           404)
+                return
+            p.unlink()
+            self._json({"success": True})
         elif path == "/validate_paths":
             # (reference web-ui.py:514) validate + autofill via the same
             # logic the CLI uses (inference/pipeline.py autofill_paths)

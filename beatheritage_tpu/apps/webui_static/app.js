@@ -1,11 +1,37 @@
 // BeatHeritage TPU web UI logic (reference: static/app.js behaviors —
-// per-gamemode field visibility, tqdm progress parsing, localStorage
-// persistence, config export/import, descriptor chips, MaiMod view).
+// per-gamemode/per-model field gating, tri-state descriptor conditioning,
+// tqdm progress parsing with a live step table, flash messages, error
+// detection + error-log link, log controls, localStorage persistence,
+// config export/import, server presets, MaiMod view).
 
 const $ = (id) => document.getElementById(id);
 const form = $("f");
 
-// ---- tabs ------------------------------------------------------------------
+// =============================================================================
+// Flash messages (reference Utils.showFlashMessage)
+// =============================================================================
+
+function flash(message, type = "success") {
+  const box = document.createElement("div");
+  box.className = "alert " + (type === "success" ? "alert-success"
+    : type === "cancel" ? "alert-cancel" : "alert-error");
+  box.textContent = message;
+  $("flash-container").appendChild(box);
+  setTimeout(() => box.classList.add("show"));
+  setTimeout(() => {
+    box.classList.remove("show");
+    setTimeout(() => box.remove(), 400);
+  }, 5000);
+}
+
+function scrollToEl(el) {
+  (typeof el === "string" ? $(el) : el)
+    ?.scrollIntoView({ behavior: "smooth", block: "start" });
+}
+
+// =============================================================================
+// Tabs
+// =============================================================================
 
 function showTab(name) {
   $("page-generate").hidden = name !== "generate";
@@ -16,10 +42,13 @@ function showTab(name) {
 $("tab-generate").onclick = () => showTab("generate");
 $("tab-maimod").onclick = () => showTab("maimod");
 
-// ---- model list + descriptors ----------------------------------------------
+// =============================================================================
+// Model list, descriptors (tri-state), context options, capabilities
+// =============================================================================
 
 let descriptors = [];
-const selectedDescriptors = new Set();
+// name -> "pos" | "neg"  (absent = off); click cycles off -> pos -> neg -> off
+const descriptorState = new Map();
 
 async function loadModels() {
   const names = await (await fetch("/models")).json();
@@ -30,18 +59,27 @@ async function loadModels() {
   }
   const saved = localStorage.getItem("bh_model");
   if (saved && names.includes(saved)) $("model").value = saved;
-  await loadDescriptors();
+  await loadModelDependent();
 }
 
-async function loadDescriptors() {
+async function loadModelDependent() {
   const cfg = $("model").value;
   localStorage.setItem("bh_model", cfg);
   descriptors = await (
     await fetch("/descriptors?config=" + encodeURIComponent(cfg))
   ).json();
+  for (const name of [...descriptorState.keys()])
+    if (!descriptors.includes(name)) descriptorState.delete(name);
   renderDescriptors();
   await loadContextOptions();
   await loadCapabilities();
+}
+
+function cycleDescriptor(name) {
+  const cur = descriptorState.get(name);
+  if (cur === undefined) descriptorState.set(name, "pos");
+  else if (cur === "pos") descriptorState.set(name, "neg");
+  else descriptorState.delete(name);
 }
 
 function renderDescriptors() {
@@ -49,22 +87,26 @@ function renderDescriptors() {
   const box = $("descsel");
   box.innerHTML = "";
   for (const d of descriptors) {
-    if (q && !d.toLowerCase().includes(q) && !selectedDescriptors.has(d)) continue;
+    if (q && !d.toLowerCase().includes(q) && !descriptorState.has(d)) continue;
+    const state = descriptorState.get(d);
     const chip = document.createElement("span");
-    chip.className = "chip" + (selectedDescriptors.has(d) ? " on" : "");
+    chip.className = "chip" + (state === "pos" ? " pos"
+      : state === "neg" ? " neg" : "");
     chip.textContent = d;
+    chip.title = state === "pos" ? "conditioning towards (click for away)"
+      : state === "neg" ? "conditioning away (click to clear)"
+      : "click to condition towards";
     chip.onclick = () => {
-      selectedDescriptors.has(d)
-        ? selectedDescriptors.delete(d)
-        : selectedDescriptors.add(d);
+      cycleDescriptor(d);
       renderDescriptors();
+      persistState();
     };
     box.appendChild(chip);
   }
-  box.parentElement.style.display = descriptors.length ? "" : "none";
+  $("descriptor-box").style.display = descriptors.length ? "" : "none";
 }
 $("descsearch").oninput = renderDescriptors;
-$("model").onchange = loadDescriptors;
+$("model").onchange = loadModelDependent;
 
 async function loadContextOptions() {
   const cfg = $("model").value;
@@ -79,12 +121,11 @@ async function loadContextOptions() {
     lbl.innerHTML = `<input type="checkbox" name="in_context_options" value="${ctx}"> ${ctx}`;
     box.appendChild(lbl);
   }
-  $("in-context-options-box").style.display = opts.length ? "" : "none";
+  updateVisibility();
 }
 
-// ---- per-model capabilities (reference app.js modelCapabilities, but
-// introspected from the model's train config via /capabilities) --------------
-
+// Per-model capabilities (reference app.js modelCapabilities, but
+// introspected from the model's train config via /capabilities).
 let CAPS = {};
 async function loadCapabilities() {
   const cfg = $("model").value;
@@ -95,17 +136,20 @@ async function loadCapabilities() {
   } catch (e) {
     CAPS = {};
   }
-  // gamemode options the model was trained on
   const gmSel = $("gamemode");
   if (gmSel && CAPS.supported_gamemodes) {
     for (const opt of gmSel.options) {
       if (opt.value === "") continue;
       const ok = CAPS.supported_gamemodes.includes(+opt.value);
       opt.hidden = !ok;
+      opt.disabled = !ok;
       if (!ok && gmSel.value === opt.value) gmSel.value = "";
     }
+    // exactly one trained gamemode: pin the selector to it
+    if (CAPS.supported_gamemodes.length === 1) {
+      gmSel.value = String(CAPS.supported_gamemodes[0]);
+    }
   }
-  // conditioning fields the model has no tokens for
   const capGroups = {
     "group-year": CAPS.supports_year,
     "group-hitsounded": CAPS.supports_hitsounds,
@@ -114,12 +158,22 @@ async function loadCapabilities() {
     const el = $(id);
     if (el) el.style.display = ok === false ? "none" : "";
   }
-  // (descriptor visibility already follows the per-model /descriptors list)
+  if (CAPS.supports_hitsounds === false) {
+    // models without the hitsounded token always behave as hitsounded
+    const cb = form.elements.hitsounded;
+    if (cb) cb.checked = true;
+  }
+  if (CAPS.supports_descriptors === false) {
+    descriptorState.clear();
+    descriptors = [];
+    renderDescriptors();
+  }
   updateVisibility();
 }
-// (model changes reach here through loadDescriptors -> loadCapabilities)
 
-// ---- per-gamemode visibility (reference app.js updateVisibility) -----------
+// =============================================================================
+// Conditional visibility (reference UIManager.updateConditionalFields)
+// =============================================================================
 
 const GROUPS = {
   "group-circle_size": [0, 2],
@@ -130,32 +184,128 @@ const GROUPS = {
   "group-hold_note_ratio": [3],
   "group-scroll_speed_ratio": [1, 3],
 };
+
 function updateVisibility() {
   const gm = $("gamemode").value;
   for (const [id, modes] of Object.entries(GROUPS)) {
     const el = $(id);
     if (el) el.style.display = gm === "" || modes.includes(+gm) ? "" : "none";
   }
+  // beatmap-path-dependent sections: in-context options and add-to-beatmap
+  // only make sense with a reference beatmap (reference app.js:111-123)
+  const hasBeatmap = $("beatmap_path").value.trim() !== "";
+  $("in-context-options-box").style.display = hasBeatmap ? "" : "none";
+  $("add-to-beatmap-option").style.display = hasBeatmap ? "" : "none";
+  if (!hasBeatmap) {
+    const cb = form.elements.add_to_beatmap;
+    if (cb) cb.checked = false;
+  }
 }
 $("gamemode").onchange = updateVisibility;
-updateVisibility();
+$("beatmap_path").addEventListener("input", updateVisibility);
 
-// ---- path validation --------------------------------------------------------
+// =============================================================================
+// Paths: clear buttons, validation, autofill placeholders
+// (reference PathManager)
+// =============================================================================
+
+function updateClearButtons() {
+  for (const btn of document.querySelectorAll(".clear-input-btn")) {
+    const input = $(btn.dataset.target);
+    btn.style.display = input && input.value.trim() ? "" : "none";
+  }
+}
+for (const btn of document.querySelectorAll(".clear-input-btn")) {
+  btn.onclick = () => {
+    const input = $(btn.dataset.target);
+    input.value = "";
+    input.placeholder = input.id === "audio_path" ? "/path/to/song.mp3"
+      : input.id === "output_path" ? "/path/to/output" : "/path/to/map.osu";
+    input.classList.remove("valid", "invalid");
+    updateClearButtons();
+    updateVisibility();
+    autofillPlaceholders();
+    persistState();
+  };
+}
+document.addEventListener("input", (e) => {
+  if (e.target.matches(".input-with-clear input")) updateClearButtons();
+});
 
 for (const el of document.querySelectorAll("input[data-validate]")) {
   el.addEventListener("blur", async () => {
     el.classList.remove("valid", "invalid");
-    if (!el.value) return;
+    removeInlineError(el);
+    if (!el.value) {
+      autofillPlaceholders();
+      return;
+    }
     const r = await fetch(
       `/validate_path?kind=${el.dataset.validate}&path=${encodeURIComponent(el.value)}`
     );
     const j = await r.json();
     el.classList.add(j.valid ? "valid" : "invalid");
-    el.title = j.valid ? "" : j.reason;
+    if (!j.valid) showInlineError(el, j.reason || "invalid path");
   });
 }
 
-// ---- config persistence / export / import ----------------------------------
+function showInlineError(input, message) {
+  removeInlineError(input);
+  const div = document.createElement("div");
+  div.className = "path-validation-error";
+  div.textContent = message;
+  (input.closest(".input-with-clear") || input).after(div);
+}
+function removeInlineError(input) {
+  const holder = input.closest(".input-with-clear") || input;
+  if (holder.nextElementSibling?.classList.contains("path-validation-error"))
+    holder.nextElementSibling.remove();
+}
+
+// With a reference beatmap set, show what the backend would autofill for
+// blank audio/output as placeholders (reference handleValidationResponse).
+async function autofillPlaceholders() {
+  const beatmap = $("beatmap_path").value.trim();
+  if (!beatmap) return;
+  try {
+    const j = await postJSON("/validate_paths", {
+      audio_path: $("audio_path").value.trim(),
+      beatmap_path: beatmap,
+      output_path: $("output_path").value.trim(),
+    });
+    if (j.audio_path && !$("audio_path").value.trim())
+      $("audio_path").placeholder = j.audio_path;
+    if (j.output_path && !$("output_path").value.trim())
+      $("output_path").placeholder = j.output_path;
+  } catch (e) { /* backend not reachable; placeholders stay */ }
+}
+$("beatmap_path").addEventListener("blur", autofillPlaceholders);
+
+// Before submit: adopt placeholder values as real values
+// (reference PathManager.applyPlaceholderValues).
+function applyPlaceholderValues() {
+  for (const id of ["audio_path", "output_path"]) {
+    const el = $(id);
+    // the static hint placeholders contain "path/to"; autofilled ones are
+    // real filesystem paths from /validate_paths
+    if (!el.value.trim() && el.placeholder
+        && !el.placeholder.includes("path/to"))
+      el.value = el.placeholder;
+  }
+}
+
+async function postJSON(url, obj) {
+  const r = await fetch(url, {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(obj),
+  });
+  return r.json();
+}
+
+// =============================================================================
+// Form state: persistence, export/import, reset (reference ConfigManager)
+// =============================================================================
 
 function formState() {
   const data = Object.fromEntries(new FormData(form));
@@ -164,9 +314,13 @@ function formState() {
   data.in_context_options = [
     ...form.querySelectorAll("input[name=in_context_options]:checked"),
   ].map((e) => e.value);
-  data.descriptor_select = [...selectedDescriptors];
+  data.descriptor_select = [...descriptorState.entries()]
+    .filter(([, s]) => s === "pos").map(([d]) => d);
+  data.negative_descriptors = [...descriptorState.entries()]
+    .filter(([, s]) => s === "neg").map(([d]) => d).join(",");
   return data;
 }
+
 function applyState(data) {
   for (const [k, v] of Object.entries(data)) {
     const el = form.elements[k];
@@ -174,37 +328,85 @@ function applyState(data) {
     if (el.type === "checkbox") el.checked = !!v;
     else el.value = v ?? "";
   }
-  selectedDescriptors.clear();
-  for (const d of data.descriptor_select || []) selectedDescriptors.add(d);
+  for (const cb of form.querySelectorAll("input[name=in_context_options]"))
+    cb.checked = (data.in_context_options || []).includes(cb.value);
+  descriptorState.clear();
+  for (const d of data.descriptor_select || []) descriptorState.set(d, "pos");
+  for (const d of (data.negative_descriptors || "").split(","))
+    if (d.trim()) descriptorState.set(d.trim(), "neg");
   renderDescriptors();
   updateVisibility();
+  updateClearButtons();
 }
-form.addEventListener("change", () =>
-  localStorage.setItem("bh_config", JSON.stringify(formState()))
-);
+
+function persistState() {
+  localStorage.setItem("bh_config", JSON.stringify(formState()));
+}
+form.addEventListener("change", persistState);
+
+const FORM_DEFAULTS = {
+  gamemode: "", seed: "", audio_path: "", output_path: "", beatmap_path: "",
+  difficulty: "", mapper_id: "", year: "", keycount: "", hold_note_ratio: "",
+  scroll_speed_ratio: "", hp_drain_rate: "", circle_size: "",
+  overall_difficulty: "", approach_rate: "", slider_multiplier: "",
+  slider_tick_rate: "", start_time: "", end_time: "", cfg_scale: "1.0",
+  temperature: "", top_p: "", extra: "",
+  hitsounded: true, add_to_beatmap: false, export_osz: false,
+  super_timing: false, use_server: false,
+  in_context_options: [], descriptor_select: [], negative_descriptors: "",
+};
+
 $("export-config-btn").onclick = () => {
-  const blob = new Blob([JSON.stringify(formState(), null, 2)], {
+  const payload = {
+    version: "1.0",
+    timestamp: new Date().toISOString(),
+    settings: formState(),
+  };
+  const blob = new Blob([JSON.stringify(payload, null, 2)], {
     type: "application/json",
   });
   const a = document.createElement("a");
   a.href = URL.createObjectURL(blob);
   a.download = "beatheritage_config.json";
   a.click();
+  URL.revokeObjectURL(a.href);
+  configStatus("Configuration exported", true);
 };
 $("import-config-btn").onclick = () => $("import-config-input").click();
 $("import-config-input").onchange = async (e) => {
   const file = e.target.files[0];
-  if (file) applyState(JSON.parse(await file.text()));
+  e.target.value = "";
+  if (!file) return;
+  try {
+    const parsed = JSON.parse(await file.text());
+    // accept both the wrapped export format and a bare form dump
+    applyState(parsed.settings || parsed);
+    persistState();
+    configStatus(
+      `Configuration imported (${parsed.timestamp || "unknown date"})`, true);
+  } catch (err) {
+    configStatus("Import failed: " + err.message, false);
+  }
 };
 $("reset-config-btn").onclick = () => {
+  if (!confirm("Reset all settings to their default values?")) return;
   localStorage.removeItem("bh_config");
   form.reset();
-  selectedDescriptors.clear();
-  renderDescriptors();
-  updateVisibility();
+  applyState(FORM_DEFAULTS);
+  configStatus("All settings reset to defaults", true);
 };
 
-// ---- server-side presets (/save_config, /load_config, /list_presets) -------
+function configStatus(message, ok) {
+  const el = $("config-status");
+  el.textContent = message;
+  el.className = ok ? "ok" : "err";
+  el.style.opacity = "1";
+  setTimeout(() => { el.style.opacity = "0"; }, 5000);
+}
+
+// =============================================================================
+// Server-side presets (/save_config, /load_config, /list_presets)
+// =============================================================================
 
 async function refreshPresets() {
   const names = await (await fetch("/list_presets")).json();
@@ -214,44 +416,45 @@ async function refreshPresets() {
 }
 $("save-preset-btn").onclick = async () => {
   const name = $("preset-name").value.trim();
-  if (!name) return alert("Preset needs a name");
-  const r = await fetch("/save_config", {
-    method: "POST",
-    headers: { "Content-Type": "application/json" },
-    body: JSON.stringify({ name, form: formState() }),
-  });
-  const j = await r.json();
-  if (!j.success) alert("Save failed: " + j.error);
+  if (!name) return flash("Preset needs a name", "error");
+  const j = await postJSON("/save_config", { name, form: formState() });
+  if (!j.success) return flash("Save failed: " + j.error, "error");
   await refreshPresets();
   $("preset-select").value = name;
+  configStatus(`Preset “${name}” saved`, true);
 };
 $("load-preset-btn").onclick = async () => {
   const name = $("preset-select").value;
   if (!name) return;
   const r = await fetch("/load_config?name=" + encodeURIComponent(name));
-  if (r.ok) applyState(await r.json());
+  if (r.ok) {
+    applyState(await r.json());
+    persistState();
+    configStatus(`Preset “${name}” loaded`, true);
+  }
+};
+$("delete-preset-btn").onclick = async () => {
+  const name = $("preset-select").value;
+  if (!name || !confirm(`Delete preset “${name}”?`)) return;
+  const j = await postJSON("/delete_preset", { name });
+  if (!j.success) return flash("Delete failed: " + j.error, "error");
+  await refreshPresets();
+  configStatus(`Preset “${name}” deleted`, true);
 };
 refreshPresets();
 
-// ---- path autofill (/validate_paths, reference web-ui.py:514) --------------
-
+// Path autofill button (/validate_paths, reference web-ui.py:514).
 $("autofill-btn").onclick = async () => {
-  const r = await fetch("/validate_paths", {
-    method: "POST",
-    headers: { "Content-Type": "application/json" },
-    body: JSON.stringify({
-      audio_path: $("audio_path").value,
-      beatmap_path: $("beatmap_path").value,
-      output_path: $("output_path").value,
-    }),
+  const j = await postJSON("/validate_paths", {
+    audio_path: $("audio_path").value,
+    beatmap_path: $("beatmap_path").value,
+    output_path: $("output_path").value,
   });
-  const j = await r.json();
   if (j.audio_path) $("audio_path").value = j.audio_path;
   if (j.output_path) $("output_path").value = j.output_path;
-  if (j.errors && j.errors.length) alert(j.errors.join("\n"));
+  if (j.errors && j.errors.length) j.errors.forEach((e) => flash(e, "error"));
+  updateClearButtons();
 };
-
-// ---- open folder / log file -------------------------------------------------
 
 $("open-folder-btn").onclick = () => {
   const folder =
@@ -260,19 +463,203 @@ $("open-folder-btn").onclick = () => {
   if (folder) fetch("/open_folder?folder=" + encodeURIComponent(folder));
 };
 $("open-log-btn").onclick = () => fetch("/open_log_file");
+$("open-error-log-btn").onclick = async () => {
+  // the newest run log holds the traceback (served from the log dir)
+  const logs = await (await fetch("/logs")).json();
+  if (logs.length)
+    fetch("/open_log_file?path=" + encodeURIComponent(logs[logs.length - 1]));
+};
+
 try {
   const saved = localStorage.getItem("bh_config");
   if (saved) applyState(JSON.parse(saved));
-} catch (e) {
-  /* stale state */
-}
+} catch (e) { /* stale state */ }
 
-// ---- progress streaming (tqdm parsing, reference app.js progress regex) ----
+// =============================================================================
+// Progress: log buffer, tqdm parsing, step table, error detection
+// (reference InferenceManager)
+// =============================================================================
 
 const TQDM = /(\d+)%\|.*?\| *(\d+)\/(\d+)/;
 const PCT = /(\d+(?:\.\d+)?)%/;
+const ERROR_INDICATORS = [
+  "Traceback (most recent call last):",
+  "Error executing job with overrides:",
+  "FileNotFoundError:",
+  "Exception:",
+];
+const STEP_ORDER = ["timing", "kiai", "map", "diffusion"];
+const STEP_KEYWORDS = [
+  { key: "timing", kw: ["generating timing"] },
+  { key: "kiai", kw: ["generating kiai"] },
+  { key: "map", kw: ["generating map"] },
+  { key: "diffusion", kw: ["seq len", "refining positions"] },
+];
+const PROGRESS_TITLES = {
+  "generating timing": "Generating timing",
+  "generating kiai": "Generating kiai",
+  "generating map": "Generating map",
+  "seq len": "Refining positions",
+  "refining positions": "Refining positions",
+};
 
-async function streamInto(logEl, onLine) {
+const Run = {
+  logs: [],
+  autoscroll: true,
+  errored: false,
+  errorLines: [],
+  cancelled: false,
+  stepStatus: {},
+  stepStart: {},
+  startTime: null,
+
+  reset() {
+    this.logs = [];
+    this.errored = false;
+    this.errorLines = [];
+    this.cancelled = false;
+    this.stepStatus = {};
+    this.stepStart = {};
+    this.startTime = Date.now();
+    $("progress_output").textContent = "";
+    $("progress-title").textContent = "";
+    $("progress-title").classList.remove("error");
+    $("progress-fill").style.width = "0%";
+    $("progress-fill").classList.remove("error");
+    $("progress-label").textContent = "";
+    $("init-message").hidden = false;
+    $("result-box").hidden = true;
+    $("error-box").hidden = true;
+    $("progress-section").hidden = false;
+    for (const row of document.querySelectorAll("#progress-table tbody tr")) {
+      setStepCell(row, "Pending", "status-pending");
+      row.querySelector("td.time").textContent = "–";
+    }
+    $("autoscroll-toggle").checked = true;
+    this.autoscroll = true;
+    scrollToEl("progress-section");
+  },
+
+  append(line) {
+    $("init-message").hidden = true;
+    this.logs.push(line);
+    const el = $("progress_output");
+    const lines = el.textContent.split("\n");
+    // tqdm lines overwrite in place like a terminal would
+    if (TQDM.test(line) && TQDM.test(lines[lines.length - 1] || ""))
+      lines[lines.length - 1] = line;
+    else lines.push(line);
+    el.textContent = lines.slice(-400).join("\n");
+    if (this.autoscroll) el.scrollTop = el.scrollHeight;
+  },
+
+  stepRow(key) {
+    return document.querySelector(`#progress-table tbody tr[data-step="${key}"]`);
+  },
+
+  markRunning(key) {
+    const cur = this.stepStatus[key];
+    if (cur === "running" || cur === "done") return;
+    this.stepStatus[key] = "running";
+    this.stepStart[key] = Date.now();
+    setStepCell(this.stepRow(key), "Running", "status-running");
+  },
+
+  markDone(key) {
+    if (this.stepStatus[key] === "done") return;
+    this.stepStatus[key] = "done";
+    const started = this.stepStart[key] || this.startTime || Date.now();
+    const sec = ((Date.now() - started) / 1000).toFixed(1);
+    const row = this.stepRow(key);
+    setStepCell(row, "Done", "status-done");
+    row.querySelector("td.time").textContent = sec + "s";
+  },
+
+  finishRunning(asError) {
+    for (const [k, v] of Object.entries(this.stepStatus)) {
+      if (v !== "running") continue;
+      if (asError) {
+        this.stepStatus[k] = "error";
+        setStepCell(this.stepRow(k), "Error", "status-error");
+      } else {
+        this.markDone(k);
+      }
+    }
+  },
+
+  handleLine(line) {
+    this.append(line);
+    const lower = line.toLowerCase();
+
+    if (!this.errored
+        && ERROR_INDICATORS.some((ind) => line.includes(ind))) {
+      this.errored = true;
+      $("progress-title").textContent = "Error detected";
+      $("progress-title").classList.add("error");
+      $("progress-fill").classList.add("error");
+    }
+    if (this.errored) {
+      this.errorLines.push(line);
+      return;
+    }
+
+    for (const [kw, title] of Object.entries(PROGRESS_TITLES))
+      if (lower.includes(kw)) $("progress-title").textContent = title;
+
+    for (const d of STEP_KEYWORDS) {
+      if (!d.kw.some((k) => lower.includes(k))) continue;
+      this.markRunning(d.key);
+      const idx = STEP_ORDER.indexOf(d.key);
+      for (let i = 0; i < idx; i++)
+        if (this.stepStatus[STEP_ORDER[i]] === "running")
+          this.markDone(STEP_ORDER[i]);
+    }
+
+    const m = line.match(TQDM) || line.match(PCT);
+    if (m) {
+      $("progress-fill").style.width = m[1] + "%";
+      $("progress-label").textContent = m[0].slice(0, 40);
+    }
+  },
+};
+
+function setStepCell(row, text, cls) {
+  const td = row.querySelector("td.status");
+  td.textContent = text;
+  td.className = "status " + cls;
+}
+
+$("autoscroll-toggle").onchange = (e) => { Run.autoscroll = e.target.checked; };
+$("copy-logs-btn").onclick = async () => {
+  const text = Run.logs.join("\n");
+  try {
+    await navigator.clipboard.writeText(text);
+    flash("Logs copied to clipboard");
+  } catch (e) {
+    const ta = document.createElement("textarea");
+    ta.value = text;
+    document.body.appendChild(ta);
+    ta.select();
+    document.execCommand("copy");
+    ta.remove();
+    flash("Logs copied to clipboard");
+  }
+};
+$("download-logs-btn").onclick = () => {
+  const blob = new Blob([Run.logs.join("\n")], { type: "text/plain" });
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(blob);
+  a.download = "beatheritage_logs_"
+    + new Date().toISOString().replace(/[:.]/g, "-") + ".txt";
+  a.click();
+  URL.revokeObjectURL(a.href);
+};
+$("clear-logs-btn").onclick = () => {
+  Run.logs = [];
+  $("progress_output").textContent = "";
+};
+
+async function streamInto(onLine) {
   const resp = await fetch("/stream_output");
   const reader = resp.body.getReader();
   const dec = new TextDecoder();
@@ -284,58 +671,123 @@ async function streamInto(logEl, onLine) {
     const parts = buf.split(/[\r\n]/);
     buf = parts.pop();
     for (const line of parts) {
-      if (!line.trim()) continue;
-      if (onLine) onLine(line);
-      // tqdm lines overwrite in place like a terminal would
-      const lines = logEl.textContent.split("\n");
-      if (TQDM.test(line) && TQDM.test(lines[lines.length - 1] || ""))
-        lines[lines.length - 1] = line;
-      else lines.push(line);
-      logEl.textContent = lines.slice(-400).join("\n");
-      logEl.scrollTop = logEl.scrollHeight;
+      if (line.trim()) onLine(line);
     }
   }
+  if (buf.trim()) onLine(buf);
 }
 
-function parseProgress(line) {
-  const m = line.match(TQDM) || line.match(PCT);
-  if (!m) return;
-  $("progress-wrap").hidden = false;
-  $("progress-fill").style.width = m[1] + "%";
-  $("progress-label").textContent = m[0].slice(0, 40);
-}
+// =============================================================================
+// Generate
+// =============================================================================
 
-// ---- generate ----------------------------------------------------------------
+function validateSubmit() {
+  applyPlaceholderValues();
+  const audio = $("audio_path").value.trim();
+  const beatmap = $("beatmap_path").value.trim();
+  const output = $("output_path").value.trim();
+  if (!audio && !beatmap) {
+    flash("Either an audio path or a reference beatmap is required", "error");
+    scrollToEl("audio_path");
+    return false;
+  }
+  if (!output && !beatmap) {
+    flash("Either an output path or a reference beatmap is required", "error");
+    scrollToEl("output_path");
+    return false;
+  }
+  if (beatmap && !beatmap.toLowerCase().endsWith(".osu")) {
+    flash("Beatmap file must have the .osu extension", "error");
+    showInlineError($("beatmap_path"), "must be a .osu file");
+    scrollToEl("beatmap_path");
+    return false;
+  }
+  return true;
+}
 
 form.onsubmit = async (e) => {
   e.preventDefault();
-  const log = $("progress_output");
-  log.textContent = "";
-  $("result-box").hidden = true;
-  $("progress-wrap").hidden = true;
+  if (!validateSubmit()) return;
+  Run.reset();
+  $("generate-btn").disabled = true;
+  $("cancel-button").hidden = false;
+  $("cancel-button").disabled = false;
+  $("cancel-button").textContent = "Cancel";
+
   const r = await fetch("/start_inference", {
     method: "POST",
     headers: { "Content-Type": "application/json" },
     body: JSON.stringify(formState()),
   });
   if (!r.ok) {
-    log.textContent = "error: " + (await r.json()).error;
+    const err = (await r.json()).error || "failed to start inference";
+    flash(err, "error");
+    $("generate-btn").disabled = false;
+    $("cancel-button").hidden = true;
+    $("progress-section").hidden = true;
     return;
   }
+
   let resultPath = null;
-  await streamInto(log, (line) => {
-    parseProgress(line);
+  await streamInto((line) => {
+    Run.handleLine(line);
     const m = line.match(/saved to (.*\.osu)|Added generated content to (.*\.osu)/);
     if (m) resultPath = m[1] || m[2];
   });
-  if (resultPath) {
-    $("result-box").hidden = false;
-    $("result-path").textContent = resultPath;
+
+  $("generate-btn").disabled = false;
+  $("cancel-button").hidden = true;
+
+  if (Run.cancelled) {
+    Run.finishRunning(false);
+    $("progress-title").textContent = "Cancelled";
+  } else if (Run.errored) {
+    Run.finishRunning(true);
+    $("progress-title").textContent = "Processing failed";
+    $("progress-fill").style.width = "100%";
+    $("error-box").hidden = false;
+    $("error-summary").textContent = summarizeError(Run.errorLines.join("\n"));
+    flash(summarizeError(Run.errorLines.join("\n")), "error");
+  } else {
+    $("progress-title").textContent = "Processing complete";
+    $("progress-fill").style.width = "100%";
+    Run.finishRunning(false);
+    Run.markDone("export");
+    if (resultPath) {
+      $("result-box").hidden = false;
+      $("result-path").textContent = resultPath;
+    }
   }
 };
-$("cancel-button").onclick = () => fetch("/cancel", { method: "POST" });
 
-// ---- MaiMod -------------------------------------------------------------------
+function summarizeError(text) {
+  if (text.includes("FileNotFoundError:")) {
+    const m = text.match(/FileNotFoundError:.*?file (.*?) not found/);
+    return m ? `File not found: ${m[1]}` : "A required file was not found.";
+  }
+  if (text.includes("Error executing job"))
+    return "The generation task failed to start or execute.";
+  return "An error occurred during processing — see the log below.";
+}
+
+$("cancel-button").onclick = async () => {
+  const btn = $("cancel-button");
+  btn.disabled = true;
+  btn.textContent = "Cancelling…";
+  const r = await fetch("/cancel", { method: "POST" });
+  if (r.ok) {
+    Run.cancelled = true;
+    flash("Inference cancelled", "cancel");
+  } else {
+    flash("Failed to cancel", "error");
+    btn.disabled = false;
+    btn.textContent = "Cancel";
+  }
+};
+
+// =============================================================================
+// MaiMod
+// =============================================================================
 
 $("maimod-form").onsubmit = async (e) => {
   e.preventDefault();
@@ -353,7 +805,14 @@ $("maimod-form").onsubmit = async (e) => {
     log.textContent = "error: " + (await r.json()).error;
     return;
   }
-  await streamInto(log, null);
+  await streamInto((line) => {
+    const lines = log.textContent.split("\n");
+    if (TQDM.test(line) && TQDM.test(lines[lines.length - 1] || ""))
+      lines[lines.length - 1] = line;
+    else lines.push(line);
+    log.textContent = lines.slice(-400).join("\n");
+    log.scrollTop = log.scrollHeight;
+  });
   const suggs = await (await fetch("/maimod_result")).json();
   renderSuggestions(suggs);
 };
@@ -385,4 +844,10 @@ function renderSuggestions(suggs) {
   }
 }
 
+// =============================================================================
+// Boot
+// =============================================================================
+
 loadModels();
+updateClearButtons();
+updateVisibility();
