@@ -532,7 +532,13 @@ class Processor:
         req_special = self._required_special_tokens(all_out)
         if gamemode != 3 and ContextType.SV in gen_out:
             gen_out.remove(ContextType.SV)
-        count = max(all_out.index(oc) for oc in gen_out) + 1
+        # Generate only up to the LAST requested context (the model emits
+        # contexts in template order, so later ones are pure waste for e.g.
+        # a timing-only pass). Divergence from the reference, which always
+        # generates the full template and discards the unrequested tail
+        # (reference processor.py:618-620).
+        requested = [oc for oc in out_context if oc in all_out] or gen_out
+        count = max(all_out.index(oc) for oc in requested) + 1
         return gen_in, all_out[:count], req_special
 
     def _required_special_tokens(self, all_out: list[ContextType]) -> list[str]:
@@ -1143,12 +1149,25 @@ class Processor:
         all_tokens = self._decode_rows(rows, verbose=verbose)
         self._split_parallel_tokens(all_tokens, rows, out_data)
 
+    def _stop_context(self, out_data) -> Optional[ContextType]:
+        """The decode can stop at the LAST requested out-context's eos token
+        instead of the global EOS: the training layout emits contexts in
+        template order ([timing]..[/timing][kiai]..[/kiai][map].. eos), so
+        everything after the last requested context's eos is unwanted. For a
+        timing-only pass (super timing) this skips the whole kiai+map tail —
+        the dominant token cost of the sweep."""
+        if not self.add_out_context_types or not out_data:
+            return None
+        ct = out_data[-1]["context_type"]
+        return ct if ct in self.tokenizer.context_eos else None
+
     def _parallel_rows(self, sequences, in_data, out_data, cond, req_special,
                        song_length) -> list[dict]:
         """Assemble one self-contained decode row per window: audio, prompt,
         negative prompt, and per-row encoder conditioning. Rows from
         different passes/songs can be freely interleaved in one batch."""
         windows, window_times = sequences[0], sequences[1]
+        stop_ct = self._stop_context(out_data)
         rows: list[dict] = []
         for w in range(len(windows)):
             frame_time = float(window_times[w])
@@ -1163,7 +1182,7 @@ class Processor:
                     frame_time, song_length)[0]
             rows.append({"window": np.asarray(windows[w]), "prompt": cp,
                          "uncond_prompt": up, "cond": row_cond,
-                         "frame_time": frame_time})
+                         "frame_time": frame_time, "stop_context": stop_ct})
         return rows
 
     def _decode_rows(self, rows: list[dict], verbose=False) -> list[np.ndarray]:
@@ -1182,6 +1201,11 @@ class Processor:
                 arr[j, max_p - len(p):] = p
             return arr
 
+        # a single early-stop context applies per engine call; rows from
+        # jobs with differing stop contexts fall back to the global EOS
+        stop_cts = {r.get("stop_context") for r in rows}
+        stop_ct = stop_cts.pop() if len(stop_cts) == 1 else None
+
         bsz = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
         all_tokens: list[np.ndarray] = []
         iterator = range(0, len(rows), bsz)
@@ -1197,7 +1221,7 @@ class Processor:
             wcond = {k: np.stack([r["cond"][k] for r in chunk])
                      for k in chunk[0]["cond"]}
             all_tokens.extend(self._dispatch(
-                frames, wcond, cond_arr, uncond_arr, 0.0, 0.0, None))
+                frames, wcond, cond_arr, uncond_arr, 0.0, 0.0, stop_ct))
         return all_tokens
 
     def _split_parallel_tokens(self, all_tokens, rows, out_data) -> None:

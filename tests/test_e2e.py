@@ -274,8 +274,9 @@ def test_parallel_multi_out_context_events_route_to_own_context(args, wav):
         in_context=[], out_context=[ContextType.TIMING, ContextType.MAP],
         verbose=False)
 
-    # one decode for the whole window, stopping only at the global EOS
-    assert seen_contexts == [None] * len(seen_contexts)
+    # one decode for the whole window; it may stop at the LAST requested
+    # context's eos ([/map] here) — everything after it is unwanted
+    assert seen_contexts == [ContextType.MAP] * len(seen_contexts)
     assert len(set(id(c) for c in seen_contexts)) >= 1
     assert len(results) == 2
     timing_events, map_events = results[0][0], results[1][0]
@@ -324,3 +325,46 @@ def test_generate_many_matches_per_job_generate(args, wav):
         for (ev_b, t_b), (ev_s, t_s) in zip(got, solo):
             assert [str(e) for e in ev_b] == [str(e) for e in ev_s]
             assert list(t_b) == list(t_s)
+
+
+def test_timing_only_early_stop_matches_full_stream(args, wav, monkeypatch):
+    """A timing-only request stops decoding at [/timing] instead of running
+    the whole kiai+map tail (the super-timing cost fix). The extracted
+    timing events must be identical to the full-stream decode: greedy
+    logits are unchanged, only the stop token set differs."""
+    import dataclasses
+    from beatheritage_tpu.inference.pipeline import (build_configs,
+                                                     load_model,
+                                                     load_tokenizer)
+    from beatheritage_tpu.inference.preprocessor import Preprocessor
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True, do_sample=False,
+                               num_beams=1)
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    gen_cfg, _ = build_configs(base)
+    pre = Preprocessor(base, parallel=True)
+    sequences = pre.segment(pre.load(wav))
+
+    outs = {}
+    for early_stop in (True, False):
+        proc = Processor(base, params, tok, verbose=False)
+        if not early_stop:
+            monkeypatch.setattr(Processor, "_stop_context",
+                                lambda self, out_data: None)
+        else:
+            monkeypatch.undo()
+        stop = proc._stop_context(
+            [{"context_type": ContextType.TIMING}])
+        assert (stop == ContextType.TIMING) == early_stop
+        results = proc.generate(
+            sequences=sequences, generation_config=gen_cfg,
+            in_context=None, out_context=[ContextType.TIMING],
+            verbose=False)
+        outs[early_stop] = results[0]
+
+    ev_fast, t_fast = outs[True]
+    ev_full, t_full = outs[False]
+    assert [str(e) for e in ev_fast] == [str(e) for e in ev_full]
+    assert list(t_fast) == list(t_full)
