@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 
 
 def main(argv=None) -> int:
@@ -74,15 +75,19 @@ def main(argv=None) -> int:
     set_ids = md.index.get_level_values(0).unique()
     lo = cfg.data.train_dataset_start
     hi = min(cfg.data.train_dataset_end, len(set_ids))
-    md = md.loc[set_ids[lo:hi]]
+    md_train = md.loc[set_ids[lo:hi]]
+    # validation: the held-out slice after train_dataset_end (the same
+    # sets scripts/eval_classifier.py scores)
+    vlo, vhi = hi, min(cfg.data.test_dataset_end, len(set_ids))
+    md_val = md.loc[set_ids[vlo:vhi]] if vhi > vlo else None
 
     def epochs():
         """ClassifierDataset is one pass over the corpus; cycle fresh
-        epochs (new window-sampling seed each) until total_steps."""
+        epochs (each with a fresh window-phase seed) until total_steps."""
         epoch = 0
         while True:
             ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
-                                   metadata=md, seed=cfg.seed + epoch)
+                                   metadata=md_train, seed=cfg.seed + epoch)
             produced = False
             for batch in batch_iterator(ds, cfg.optim.batch_size):
                 produced = True
@@ -93,6 +98,31 @@ def main(argv=None) -> int:
                     "train_dataset_path / batch_size vs corpus size")
             epoch += 1
 
+    from ..models.classifier import classifier_forward  # noqa: PLC0415
+
+    @jax.jit
+    def logits_fn(params, audio, tokens):
+        return classifier_forward(params, dims, audio, tokens)["logits"]
+
+    def validate(params) -> float:
+        """Held-out window top-1 (the FID instrument's quality gate)."""
+        if md_val is None:
+            return float("nan")
+        ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
+                               metadata=md_val, test=True)
+        correct = total = 0
+        for batch in batch_iterator(ds, cfg.optim.batch_size,
+                                    drop_last=False):
+            pred = np.argmax(np.asarray(
+                logits_fn(params, batch["audio"], batch["tokens"])), axis=-1)
+            correct += int((pred == np.asarray(batch["label"])).sum())
+            total += len(pred)
+        return correct / max(total, 1)
+
+    import numpy as np  # noqa: PLC0415
+    from ..train.checkpoints import save_params  # noqa: PLC0415
+
+    best_val = -1.0
     t0 = time.time()
     for i, batch in enumerate(epochs()):
         if i >= cfg.optim.total_steps:
@@ -100,14 +130,24 @@ def main(argv=None) -> int:
         params, opt_state, loss, acc = step(params, opt_state, batch)
         if (i + 1) % cfg.logging.every_steps == 0:
             print(f"step {i + 1}: loss={float(loss):.4f} acc={float(acc):.4f} "
-                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)")
+                  f"({cfg.logging.every_steps / (time.time() - t0):.2f} it/s)",
+                  flush=True)
             t0 = time.time()
         if cfg.checkpoint_path and (i + 1) % cfg.checkpoint.every_steps == 0:
-            from ..train.checkpoints import save_params  # noqa: PLC0415
+            val = validate(params)
+            print(f"step {i + 1}: val_top1={val:.4f} (best {best_val:.4f})",
+                  flush=True)
             save_params(cfg.checkpoint_path, params)
+            if md_val is None or val >= best_val:
+                best_val = val
+                save_params(str(Path(cfg.checkpoint_path)) + "_best", params)
+            t0 = time.time()
     if cfg.checkpoint_path:
-        from ..train.checkpoints import save_params  # noqa: PLC0415
+        val = validate(params)
+        print(f"final: val_top1={val:.4f} (best {best_val:.4f})", flush=True)
         save_params(cfg.checkpoint_path, params)
+        if md_val is None or val >= best_val:
+            save_params(str(Path(cfg.checkpoint_path)) + "_best", params)
     return 0
 
 

@@ -61,7 +61,11 @@ class ClassifierDataset:
                     continue
                 label = self.tokenizer.get_mapper_idx(row["UserId"])
                 er = self.tokenizer.event_range[EventType.TIME_SHIFT]
-                t0 = 0.0
+                # random per-epoch phase: without it every epoch yields the
+                # exact same window crops and the classifier memorizes them
+                # instead of the style (held-out top-1 was chance in r3);
+                # eval (test=True) keeps the deterministic grid
+                t0 = 0.0 if self.test else self.rng.uniform(0.0, WINDOW_MS)
                 while (t0 + WINDOW_MS) / 1000 * self.sample_rate <= len(audio):
                     s0 = int(t0 / 1000 * self.sample_rate)
                     window_audio = audio[s0:s0 + self.window_samples]
