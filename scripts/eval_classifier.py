@@ -24,6 +24,7 @@ import numpy as np  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="auto")
     ap.add_argument("--config", default="synth")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--dataset", default="/tmp/synth_mmrs_v3")
@@ -32,6 +33,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default="/tmp/eval_classifier.json")
     args = ap.parse_args()
+
+    from _backend import ensure_backend
+    ensure_backend(args.device)
 
     import jax
     import jax.numpy as jnp

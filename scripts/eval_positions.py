@@ -94,6 +94,7 @@ def metrics(paths: list[Path], corpus_sp: np.ndarray, cs: float = 4.0) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="auto")
     ap.add_argument("--config", default="synth_flagship")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--diff-ckpt", default="")
@@ -104,6 +105,9 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/eval_positions.json")
     ap.add_argument("--override", action="append", default=[])
     args = ap.parse_args()
+
+    from _backend import ensure_backend
+    ensure_backend(args.device)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")

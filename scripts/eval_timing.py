@@ -68,6 +68,7 @@ def score(gt: list[tuple[float, float]], got: list[tuple[float, float]],
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="auto")
     ap.add_argument("--config", default="synth")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--dataset", default="/tmp/synth_mmrs_v3")
@@ -78,6 +79,9 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/eval_timing.json")
     ap.add_argument("--override", action="append", default=[])
     args = ap.parse_args()
+
+    from _backend import ensure_backend
+    ensure_backend(args.device)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
