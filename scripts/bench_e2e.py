@@ -72,9 +72,17 @@ def main() -> int:
     ap.add_argument("--tgt-cap", type=int, default=0,
                     help="optional tgt_seq_len cap to bound compile size")
     ap.add_argument("--out", default="/tmp/bench_e2e")
+    ap.add_argument("--device", default="auto")
+    ap.add_argument("--fresh-lengths", default="1.4,2.3,4.6",
+                    help="comma list of song lengths (minutes) visited ONCE "
+                         "each to measure the never-seen-song-length cost "
+                         "(different window-batch buckets); empty disables")
     ap.add_argument("-O", "--override", action="append", default=[],
                     help="extra inference-config overrides (key=value)")
     args = ap.parse_args()
+
+    from _backend import ensure_backend
+    ensure_backend(args.device)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -122,6 +130,19 @@ def main() -> int:
         paths.append(path)
         print(f"  run {r}: {dt:.2f}s ({song.name})", file=sys.stderr)
 
+    # never-seen song lengths: each visits a different window-batch bucket
+    # exactly once, so this p50 carries whatever per-new-length compile cost
+    # survives the bucketing (VERDICT r3: fresh songs paid ~15 s of decode
+    # compiles; window-batch bucketing is supposed to kill that)
+    fresh_times = []
+    fresh_lengths = [float(m) for m in args.fresh_lengths.split(",") if m]
+    for j, minutes in enumerate(fresh_lengths):
+        song = make_song(minutes * 60, 100 + j, out_dir)
+        dt, path = run(song, f"fresh{j}")
+        fresh_times.append(dt)
+        paths.append(path)
+        print(f"  fresh {minutes:.1f}min: {dt:.2f}s", file=sys.stderr)
+
     # validate output: the generated .osu must reparse with objects + timing
     from beatheritage_tpu.osu.beatmap import Beatmap
     bm = Beatmap.from_path(paths[-1])
@@ -140,6 +161,10 @@ def main() -> int:
             "song_minutes": args.minutes,
             "cold_seconds": round(cold_s, 2),
             "runs": [round(t, 2) for t in times],
+            "fresh_song_length_p50": (round(float(np.median(fresh_times)), 3)
+                                      if fresh_times else None),
+            "fresh_runs": {f"{m:.1f}min": round(t, 2)
+                           for m, t in zip(fresh_lengths, fresh_times)},
             "last_osu_objects": n_objects,
             "last_osu_timing_points": n_timing,
         },
