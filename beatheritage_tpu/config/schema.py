@@ -413,6 +413,9 @@ class InferenceConfig:
     # chunk forward (decode/speculative.py). 0 disables; greedy streams are
     # bit-identical, sampled streams equal in distribution
     speculative_k: int = 0
+    # unroll the decoder layer loop in the decode engine (static cache
+    # indices instead of a scanned carry) — A/B lever for per-step HBM cost
+    decode_unroll_layers: bool = False
     # AOT executable cache: serialize compiled decode programs so later
     # processes skip the 10-15 min remote compile (decode/aot.py). 'auto'
     # resolves to ~/.cache/beatheritage_tpu/aot; '' disables

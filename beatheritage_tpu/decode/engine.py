@@ -102,7 +102,8 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
                            slot_start, kv_valid: jnp.ndarray,
                            rope_seq_len: int, dtype=jnp.bfloat16,
                            cross_mask: Optional[jnp.ndarray] = None,
-                           qkv: Optional[dict] = None
+                           qkv: Optional[dict] = None,
+                           unroll: bool = False
                            ) -> tuple[jnp.ndarray, dict]:
     """Run the decoder on a chunk of C tokens, reading/writing the KV cache.
 
@@ -182,10 +183,23 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
         return (x, k_all, v_all), None
 
     n_layers = dims.decoder_layers
-    (x, new_k, new_v), _ = jax.lax.scan(
-        layer_fn, (x, cache["k"], cache["v"]),
-        (params["decoder"]["layers"], qkv["w"], qkv["b"], cross_k, cross_v,
-         jnp.arange(n_layers)))
+    if unroll:
+        # Python-unrolled layer loop: every cache dynamic_update_slice gets
+        # a STATIC layer index, removing any reliance on XLA aliasing a
+        # dynamically-indexed scan carry (A/B lever for the per-step HBM
+        # gap — see scripts/profile_decode.py). Same math, same order.
+        carry = (x, cache["k"], cache["v"])
+        stacked = params["decoder"]["layers"]
+        for li in range(n_layers):
+            layer = jax.tree_util.tree_map(lambda a, i=li: a[i], stacked)
+            carry, _ = layer_fn(carry, (layer, qkv["w"][li], qkv["b"][li],
+                                        cross_k[li], cross_v[li], li))
+        x, new_k, new_v = carry
+    else:
+        (x, new_k, new_v), _ = jax.lax.scan(
+            layer_fn, (x, cache["k"], cache["v"]),
+            (params["decoder"]["layers"], qkv["w"], qkv["b"], cross_k,
+             cross_v, jnp.arange(n_layers)))
     x = _ln(x, params["decoder"]["lnf"])
     logits = (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
@@ -231,7 +245,7 @@ def _cache_stages(p_len: int, max_len: int, n_buckets: int) -> list[int]:
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "settings", "tables", "max_len", "dtype",
-                     "cache_buckets"))
+                     "cache_buckets", "unroll_layers"))
 def generate(params, dims: ModelDims, settings: SamplerSettings,
              tables: TokenTables, enc_hidden: jnp.ndarray,
              prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
@@ -239,7 +253,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
              dtype=jnp.bfloat16,
              enc_mask: Optional[jnp.ndarray] = None,
              lookback_mask: Optional[jnp.ndarray] = None,
-             cache_buckets: int = 4):
+             cache_buckets: int = 4, unroll_layers: bool = False):
     """Generate until EOS or `max_len` total positions.
 
     enc_hidden (Bm, S, D), prompt (Bm, P) left-padded, prompt_mask (Bm, P);
@@ -277,7 +291,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     prefill_logits, cache = decoder_cached_forward(
         params, dims, prompt.astype(jnp.int32), cache, cross_k, cross_v,
         positions_prompt, 0, kv_valid[:, :stages[0]], max_len, dtype,
-        cross_mask=enc_mask, qkv=qkv)
+        cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers)
     pending = prefill_logits[:, -1]
 
     cond_prompt = prompt[:b].astype(jnp.int32)
@@ -341,7 +355,7 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
             step_logits, cache = decoder_cached_forward(
                 params, dims, tokens[:, step][:, None], s["cache"], cross_k,
                 cross_v, s["pos_next"][:, None], step, kv_valid_s, max_len,
-                dtype, cross_mask=enc_mask, qkv=qkv)
+                dtype, cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers)
 
             return {
                 "tokens": tokens,

@@ -387,7 +387,9 @@ class Processor:
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask, self._next_key(),
                 max_len=self.tgt_seq_len, dtype=self.dtype,
-                lookback_mask=lookback_mask)
+                lookback_mask=lookback_mask,
+                unroll_layers=getattr(self.args, "decode_unroll_layers",
+                                      False))
         tokens = np.asarray(out["tokens"])
         length = int(out["length"])
         return [tokens[i, p:length] for i in range(b)]

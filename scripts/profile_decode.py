@@ -36,6 +36,8 @@ def main() -> int:
                     help="decode budget (tokens) for the timed run")
     ap.add_argument("--trace-dir", default="/tmp/decode_trace")
     ap.add_argument("--device", default="auto")
+    ap.add_argument("--unroll", action="store_true",
+                    help="unroll the decoder layer loop (A/B vs the scan)")
     args = ap.parse_args()
 
     from _backend import ensure_backend
@@ -78,7 +80,8 @@ def main() -> int:
         out = engine_generate(
             params, dims, settings, tables, enc_hidden, jnp.asarray(prompt),
             jnp.asarray(mask), eos_mask, key,
-            max_len=prompt_len + budget, dtype=jnp.bfloat16)
+            max_len=prompt_len + budget, dtype=jnp.bfloat16,
+            unroll_layers=args.unroll)
         return np.asarray(out["tokens"]), int(out["length"])
 
     # warm both budget programs

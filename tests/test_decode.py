@@ -300,3 +300,33 @@ def test_cache_stage_schedule():
     for stages in (_cache_stages(64, 2112, 4), _cache_stages(1024, 3072, 3)):
         assert stages[-1] == stages[-1] and sorted(stages) == stages
         assert all(x % 256 == 0 or x == stages[-1] for x in stages)
+
+
+def test_unrolled_layers_match_scanned(setup):
+    """The unrolled decoder layer loop (static cache indices, the per-step
+    HBM A/B lever) must produce the identical token stream as the scanned
+    loop — same math in the same order, only the loop construct differs."""
+    cfg, tok, dims, params, tables = setup
+    b, p = 2, 8
+    rng = np.random.default_rng(5)
+    s = (cfg.data.src_seq_len - 1) // 2 + 1
+    enc = jnp.asarray(rng.standard_normal((b, s, dims.d_model)) * 0.5,
+                      jnp.float32)
+    prompt = np.full((b, p), tok.pad_id, np.int32)
+    prompt[:, -1] = tok.sos_id
+    mask = jnp.asarray(prompt != tok.pad_id)
+    prompt = jnp.asarray(prompt)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+
+    for settings in (SamplerSettings(do_sample=False, repetition_penalty=1.1),
+                     SamplerSettings(do_sample=True, temperature=1.1,
+                                     top_k=16)):
+        outs = {}
+        for unroll in (False, True):
+            outs[unroll] = generate(
+                params, dims, settings, tables, enc, prompt, mask, eos_mask,
+                jax.random.PRNGKey(3), max_len=p + 96, dtype=jnp.float32,
+                unroll_layers=unroll)
+        assert int(outs[False]["length"]) == int(outs[True]["length"])
+        np.testing.assert_array_equal(np.asarray(outs[False]["tokens"]),
+                                      np.asarray(outs[True]["tokens"]))
