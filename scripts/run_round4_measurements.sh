@@ -1,0 +1,92 @@
+#!/bin/bash
+# Round-4 measurement runbook: execute the moment the TPU tunnel returns.
+# Ordered cheapest-first so partial windows still land records; every step
+# is individually time-bounded and failures don't block later steps.
+# Usage: bash scripts/run_round4_measurements.sh [phase...]
+#   phases: bench e2e timing dit classifier positions fid train-deep mfu
+#   (default: bench e2e timing — the official-record trio)
+set -u
+cd "$(dirname "$0")/.."
+PHASES="${*:-bench e2e timing}"
+STAMP=$(date +%H%M%S)
+
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('TPU HEALTHY', float((jnp.ones((256,256))@jnp.ones((256,256))).sum()), jax.devices()[0].platform)
+"
+}
+
+echo "== probe =="
+probe || { echo 'TPU NOT HEALTHY — aborting'; exit 1; }
+
+for phase in $PHASES; do
+  echo "== $phase =="
+  case "$phase" in
+    bench)
+      # official metric; AOT cache should make this fast
+      timeout 3000 python bench.py | tee "BENCH_PREVIEW_r04.json"
+      ;;
+    e2e)
+      # shipped flagship config exactly as committed (refine_entry=4,
+      # bucketing live): warm p50 + fresh-song-length p50
+      timeout 5400 python scripts/bench_e2e.py --config synth_flagship \
+        --ckpt /tmp/flagship_ckpt --songs 3 --runs 5 --minutes 3 \
+        2>/tmp/bench_e2e_r4.log | tee "BENCH_E2E_r04.json"
+      ;;
+    timing)
+      # super-timing sweep: batched passes x timing-only early stop
+      timeout 5400 python scripts/eval_timing.py --config synth_flagship \
+        --ckpt /tmp/flagship_ckpt --songs 6 \
+        --out EVAL_TIMING_r04.json && cat EVAL_TIMING_r04.json
+      ;;
+    dit)
+      # conditioned DiT-B retrain on the v4 corpus (~50 min at r3 rate)
+      timeout 7200 python -m beatheritage_tpu.apps.train_diffusion \
+        -cn synth_b_v4 checkpoint_path=/tmp/synth_dit_b_v4_ckpt \
+        max_seconds=6600
+      ;;
+    classifier)
+      kill "$(cat /tmp/clf_v4_cpu.pid 2>/dev/null)" 2>/dev/null || true
+      timeout 7200 python -m beatheritage_tpu.apps.train_classifier -cn synth \
+        data.train_dataset_path=/tmp/synth_mmrs_v4 \
+        data.test_dataset_path=/tmp/synth_mmrs_v4 \
+        data.train_dataset_start=0 data.train_dataset_end=560 \
+        data.test_dataset_end=600 optim.total_steps=6000 \
+        checkpoint_path=/tmp/synth_classifier_v4_ckpt
+      timeout 1800 python scripts/eval_classifier.py \
+        --ckpt /tmp/synth_classifier_v4_ckpt_best \
+        --dataset /tmp/synth_mmrs_v4 --start 560 --end 600 \
+        --out EVAL_CLASSIFIER_r04.json && cat EVAL_CLASSIFIER_r04.json
+      ;;
+    positions)
+      # on-device rescore incl. slider-end projection + refine_entry=4
+      timeout 5400 python scripts/eval_positions.py --config synth_flagship \
+        --ckpt /tmp/flagship_ckpt --diff-ckpt /tmp/synth_dit_b_v4_ckpt \
+        --dataset /tmp/synth_mmrs_v4 --start 560 --end 600 --songs 6 \
+        --out EVAL_POS_r04.json && cat EVAL_POS_r04.json
+      ;;
+    fid)
+      timeout 5400 python -m beatheritage_tpu.apps.calc_fid -cn synth_flagship \
+        classifier_ckpt=/tmp/synth_classifier_v4_ckpt_best \
+        dataset_path=/tmp/synth_mmrs_v4 dataset_start=560 dataset_end=600 \
+        2>&1 | tail -20
+      ;;
+    train-deep)
+      # flagship deepening: resumes from the latest state_N automatically
+      timeout 28800 python -m beatheritage_tpu.apps.train -cn synth_flagship \
+        optim.total_steps=30000 checkpoint_path=/tmp/flagship_ckpt \
+        max_seconds=28000
+      ;;
+    mfu)
+      timeout 3600 python scripts/bench_train.py --batch 28 --steps 12 \
+        2>&1 | tail -5
+      timeout 1200 python scripts/profile_decode.py --windows 24 \
+        --trace-dir "/tmp/decode_trace_$STAMP"
+      timeout 1200 python scripts/profile_decode.py --windows 24 --unroll \
+        --trace-dir "/tmp/decode_trace_unroll_$STAMP"
+      ;;
+    *) echo "unknown phase $phase";;
+  esac
+done
+echo "== runbook done =="
