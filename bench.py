@@ -41,7 +41,10 @@ import time
 
 # The axon register hook dials a localhost relay whose stdio the driver
 # wires over vsock; when the relay is dead the port connection is refused.
-RELAY_PORTS = (8082, 8083, 8087)
+# BENCH_RELAY_PORTS overrides for tests.
+RELAY_PORTS = tuple(
+    int(p) for p in os.environ.get("BENCH_RELAY_PORTS", "8082,8083,8087")
+    .split(","))
 BASELINE_AUDIO_MIN_PER_SEC = 0.3  # 3-minute song in 10 s
 
 

@@ -1,0 +1,69 @@
+"""bench.py must NEVER leave a crash record: whatever happens to the
+backend, it prints exactly one parseable JSON line and exits 0 (the round-3
+official bench record was an rc=1 traceback because the TPU tunnel relay
+had died)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+BENCH = str(Path(__file__).parent.parent / "bench.py")
+
+
+def _run(env_extra, timeout=120):
+    env = dict(os.environ, **env_extra)
+    proc = subprocess.run([sys.executable, BENCH], capture_output=True,
+                          text=True, timeout=timeout, env=env)
+    return proc
+
+
+def test_relay_down_emits_diagnostic_json_rc0():
+    proc = _run({"BENCH_RELAY_PORTS": "1", "BENCH_BACKEND_WAIT": "2"})
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    record = json.loads(lines[0])
+    assert record["metric"] == "audio_min_mapped_per_sec_per_chip"
+    assert record["value"] == 0.0
+    assert "unreachable" in record["detail"]["error"]
+
+
+def test_failing_child_is_retried_then_diagnosed():
+    """With the relay port 'open' (a dummy listener) but the backend broken
+    (child dies on a bogus platform), the parent retries then emits a
+    diagnostic record, rc 0."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    accepting = threading.Thread(target=lambda: [
+        c[0].close() for c in iter(lambda: _accept(srv), None)], daemon=True)
+    accepting.start()
+    try:
+        proc = _run({
+            "BENCH_RELAY_PORTS": str(port),
+            "BENCH_BACKEND_WAIT": "5",
+            "BENCH_MAX_ATTEMPTS": "2",
+            "BENCH_CHILD_TIMEOUT": "30",
+            "JAX_PLATFORMS": "definitely_not_a_platform",
+        }, timeout=300)
+    finally:
+        srv.close()
+    assert proc.returncode == 0, proc.stderr[-500:]
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record["value"] == 0.0
+    attempts = record["detail"]["attempts"]
+    assert len(attempts) == 2
+    assert all(a["outcome"].startswith("rc=") or a["outcome"] == "timeout"
+               for a in attempts)
+
+
+def _accept(srv):
+    try:
+        return srv.accept()
+    except OSError:
+        return None
