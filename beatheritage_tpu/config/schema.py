@@ -416,6 +416,10 @@ class InferenceConfig:
     # unroll the decoder layer loop in the decode engine (static cache
     # indices instead of a scanned carry) — A/B lever for per-step HBM cost
     decode_unroll_layers: bool = False
+    # int8 KV cache with per-position scales: halves the dominant per-step
+    # HBM read (self + cross KV). Mildly lossy (quantization noise on
+    # attention logits); default off pending on-device quality eval
+    decode_kv_quant: bool = False
     # AOT executable cache: serialize compiled decode programs so later
     # processes skip the 10-15 min remote compile (decode/aot.py). 'auto'
     # resolves to ~/.cache/beatheritage_tpu/aot; '' disables

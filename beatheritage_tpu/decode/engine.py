@@ -103,7 +103,9 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
                            rope_seq_len: int, dtype=jnp.bfloat16,
                            cross_mask: Optional[jnp.ndarray] = None,
                            qkv: Optional[dict] = None,
-                           unroll: bool = False
+                           unroll: bool = False,
+                           cross_ks: Optional[jnp.ndarray] = None,
+                           cross_vs: Optional[jnp.ndarray] = None
                            ) -> tuple[jnp.ndarray, dict]:
     """Run the decoder on a chunk of C tokens, reading/writing the KV cache.
 
@@ -119,6 +121,7 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
     """
     b, c = token_ids.shape
     t_max = cache["k"].shape[4]  # transposed (L, B, H, Dh, T) layout
+    quant = "ks" in cache  # int8 K/V with per-position scales (kv_cache.py)
     x = params["dec_embed"].astype(dtype)[token_ids]
     if qkv is None:
         qkv = fuse_qkv(params, dtype)
@@ -140,8 +143,12 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
     d = dims.d_model
 
     def layer_fn(carry, xs):
-        x, k_all, v_all = carry
-        layer, wqkv, bqkv, ck, cv, li = xs
+        if quant:
+            x, k_all, v_all, ks_all, vs_all = carry
+            layer, wqkv, bqkv, ck, cv, cks, cvs, li = xs
+        else:
+            x, k_all, v_all = carry
+            layer, wqkv, bqkv, ck, cv, li = xs
         # fused self-attention projections + cache write (in place)
         h = _ln(x, layer["ln1"])
         qkv_out = h @ wqkv + bqkv
@@ -151,16 +158,38 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
         q, k = apply_rope(q, k, cos, sin)
         # caches are (B, H, Dh, T) per layer (kv_cache.py: T-minor avoids
         # the 2x lane padding of Dh=64-minor layouts)
+        k_t = k.transpose(0, 1, 3, 2)
+        v_t = v.transpose(0, 1, 3, 2)
+        if quant:
+            from .kv_cache import quantize_kv  # noqa: PLC0415
+            k_t, ksc = quantize_kv(k_t, axis=2)  # scale over Dh -> (B,H,C)
+            v_t, vsc = quantize_kv(v_t, axis=2)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ksc[None], (li, 0, 0, slot_start))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vsc[None], (li, 0, 0, slot_start))
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k.transpose(0, 1, 3, 2)[None], (li, 0, 0, 0, slot_start))
+            k_all, k_t[None], (li, 0, 0, 0, slot_start))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v.transpose(0, 1, 3, 2)[None], (li, 0, 0, 0, slot_start))
+            v_all, v_t[None], (li, 0, 0, 0, slot_start))
         k_cache = jax.lax.dynamic_slice_in_dim(k_all, li, 1, 0)[0]
         v_cache = jax.lax.dynamic_slice_in_dim(v_all, li, 1, 0)[0]
+        if quant:
+            k_cache = k_cache.astype(x.dtype)
+            v_cache = v_cache.astype(x.dtype)
         logits = jnp.einsum("bhqd,bhdk->bhqk", q, k_cache,
                             preferred_element_type=jnp.float32) * scale
+        if quant:
+            # the per-position scale factors out of the q·k contraction
+            ks_cache = jax.lax.dynamic_slice_in_dim(ks_all, li, 1, 0)[0]
+            logits = logits * ks_cache[:, :, None, :]
         logits = jnp.where(self_mask, logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if quant:
+            # ... and of the probs·v contraction (scale the probs instead)
+            vs_cache = jax.lax.dynamic_slice_in_dim(vs_all, li, 1, 0)[0]
+            probs = probs * vs_cache[:, :, None, :]
+        probs = probs.astype(v_cache.dtype)
         attn = jnp.einsum("bhqk,bhdk->bhqd", probs, v_cache,
                           preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + _lin(merge_heads(attn), layer["o"])
@@ -168,41 +197,59 @@ def decoder_cached_forward(params, dims: ModelDims, token_ids: jnp.ndarray,
         # cross-attention against precomputed encoder K/V (B, H, Dh, S)
         h = _ln(x, layer["ln2"])
         xq = split_heads(_lin(h, layer["xq"]), dims.num_heads)
-        xl = jnp.einsum("bhqd,bhdk->bhqk", xq, ck,
+        ck_f = ck.astype(x.dtype) if quant else ck
+        cv_f = cv.astype(x.dtype) if quant else cv
+        xl = jnp.einsum("bhqd,bhdk->bhqk", xq, ck_f,
                         preferred_element_type=jnp.float32) * scale
+        if quant:
+            xl = xl * cks[:, :, None, :]
         if cross_mask is not None:
             xl = jnp.where(cross_mask[:, None, None, :], xl, NEG_INF)
-        xp = jax.nn.softmax(xl, axis=-1).astype(cv.dtype)
-        xa = jnp.einsum("bhqk,bhdk->bhqd", xp, cv,
+        xp = jax.nn.softmax(xl, axis=-1)
+        if quant:
+            xp = xp * cvs[:, :, None, :]
+        xp = xp.astype(cv_f.dtype)
+        xa = jnp.einsum("bhqk,bhdk->bhqd", xp, cv_f,
                         preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + _lin(merge_heads(xa), layer["xo"])
 
         # feed-forward
         h = _ln(x, layer["ln3"])
         x = x + _lin(jax.nn.gelu(_lin(h, layer["ff1"]), approximate=False), layer["ff2"])
-        return (x, k_all, v_all), None
+        return ((x, k_all, v_all, ks_all, vs_all) if quant
+                else (x, k_all, v_all)), None
 
     n_layers = dims.decoder_layers
+    if quant:
+        carry0 = (x, cache["k"], cache["v"], cache["ks"], cache["vs"])
+        xs_all = (params["decoder"]["layers"], qkv["w"], qkv["b"],
+                  cross_k, cross_v, cross_ks, cross_vs,
+                  jnp.arange(n_layers))
+    else:
+        carry0 = (x, cache["k"], cache["v"])
+        xs_all = (params["decoder"]["layers"], qkv["w"], qkv["b"],
+                  cross_k, cross_v, jnp.arange(n_layers))
     if unroll:
         # Python-unrolled layer loop: every cache dynamic_update_slice gets
         # a STATIC layer index, removing any reliance on XLA aliasing a
         # dynamically-indexed scan carry (A/B lever for the per-step HBM
         # gap — see scripts/profile_decode.py). Same math, same order.
-        carry = (x, cache["k"], cache["v"])
-        stacked = params["decoder"]["layers"]
+        carry = carry0
         for li in range(n_layers):
-            layer = jax.tree_util.tree_map(lambda a, i=li: a[i], stacked)
-            carry, _ = layer_fn(carry, (layer, qkv["w"][li], qkv["b"][li],
-                                        cross_k[li], cross_v[li], li))
-        x, new_k, new_v = carry
+            xs = jax.tree_util.tree_map(lambda a, i=li: a[i], xs_all[:-1])
+            carry, _ = layer_fn(carry, xs + (li,))
+        out_carry = carry
     else:
-        (x, new_k, new_v), _ = jax.lax.scan(
-            layer_fn, (x, cache["k"], cache["v"]),
-            (params["decoder"]["layers"], qkv["w"], qkv["b"], cross_k,
-             cross_v, jnp.arange(n_layers)))
+        out_carry, _ = jax.lax.scan(layer_fn, carry0, xs_all)
+    if quant:
+        x, new_k, new_v, new_ks, new_vs = out_carry
+        new_cache = {"k": new_k, "v": new_v, "ks": new_ks, "vs": new_vs}
+    else:
+        x, new_k, new_v = out_carry
+        new_cache = {"k": new_k, "v": new_v}
     x = _ln(x, params["decoder"]["lnf"])
     logits = (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache
 
 
 # -- prompt-derived sampling state ------------------------------------------------
@@ -245,7 +292,7 @@ def _cache_stages(p_len: int, max_len: int, n_buckets: int) -> list[int]:
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "settings", "tables", "max_len", "dtype",
-                     "cache_buckets", "unroll_layers"))
+                     "cache_buckets", "unroll_layers", "kv_quant"))
 def generate(params, dims: ModelDims, settings: SamplerSettings,
              tables: TokenTables, enc_hidden: jnp.ndarray,
              prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
@@ -253,7 +300,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
              dtype=jnp.bfloat16,
              enc_mask: Optional[jnp.ndarray] = None,
              lookback_mask: Optional[jnp.ndarray] = None,
-             cache_buckets: int = 4, unroll_layers: bool = False):
+             cache_buckets: int = 4, unroll_layers: bool = False,
+             kv_quant: bool = False):
     """Generate until EOS or `max_len` total positions.
 
     enc_hidden (Bm, S, D), prompt (Bm, P) left-padded, prompt_mask (Bm, P);
@@ -276,8 +324,13 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     timed_mask = jnp.asarray(tables.timed_token_mask)
 
     stages = _cache_stages(p_len, max_len, cache_buckets)
-    cache = init_self_cache(dims, bm, stages[0], dtype)
-    cross_k, cross_v = precompute_cross_kv(params, dims, enc_hidden, dtype)
+    cache = init_self_cache(dims, bm, stages[0], dtype, quant=kv_quant)
+    if kv_quant:
+        cross_k, cross_v, cross_ks, cross_vs = precompute_cross_kv(
+            params, dims, enc_hidden, dtype, quant=True)
+    else:
+        cross_k, cross_v = precompute_cross_kv(params, dims, enc_hidden, dtype)
+        cross_ks = cross_vs = None
     qkv = fuse_qkv(params, dtype)
 
     # tokens buffer holds prompt then generated ids
@@ -291,7 +344,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
     prefill_logits, cache = decoder_cached_forward(
         params, dims, prompt.astype(jnp.int32), cache, cross_k, cross_v,
         positions_prompt, 0, kv_valid[:, :stages[0]], max_len, dtype,
-        cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers)
+        cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers,
+        cross_ks=cross_ks, cross_vs=cross_vs)
     pending = prefill_logits[:, -1]
 
     cond_prompt = prompt[:b].astype(jnp.int32)
@@ -355,7 +409,8 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
             step_logits, cache = decoder_cached_forward(
                 params, dims, tokens[:, step][:, None], s["cache"], cross_k,
                 cross_v, s["pos_next"][:, None], step, kv_valid_s, max_len,
-                dtype, cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers)
+                dtype, cross_mask=enc_mask, qkv=qkv, unroll=unroll_layers,
+                cross_ks=cross_ks, cross_vs=cross_vs)
 
             return {
                 "tokens": tokens,
@@ -376,12 +431,13 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
 
     for i, stage_len in enumerate(stages):
         if i > 0:
-            # grow the cache to the next stage; fresh slots zero + masked
+            # grow the cache to the next stage; fresh slots zero + masked.
+            # T is the last axis of every cache entry (k/v AND the quant
+            # scales), so pad each entry's final axis
             grow = stage_len - stages[i - 1]
-            pad = [(0, 0)] * 4 + [(0, grow)]  # (L, B, H, Dh, T): grow T
             state = dict(state, cache={
-                "k": jnp.pad(state["cache"]["k"], pad),
-                "v": jnp.pad(state["cache"]["v"], pad)})
+                name: jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, grow)])
+                for name, arr in state["cache"].items()})
         # the body at step t writes cache slot t, so a stage may run while
         # step < stage_len (slot indices 0..stage_len-1)
         def cond_fn(s, limit=stage_len):

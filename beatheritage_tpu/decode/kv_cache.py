@@ -15,20 +15,40 @@ from ..models.transformer import ModelDims
 
 
 def init_self_cache(dims: ModelDims, batch: int, max_len: int,
-                    dtype=jnp.bfloat16) -> dict:
+                    dtype=jnp.bfloat16, quant: bool = False) -> dict:
     """Transposed (L, B, H, Dh, T) layout: the sequence axis is minor, so the
     per-step cache read streams full 128-lane tiles. The natural (..., T, Dh)
     layout puts Dh=64 minor, which XLA pads to 128 lanes — 2x the physical
     HBM traffic on what is the dominant per-step read (round-2 OOM dumps
-    confirmed the 2.0x lane padding on (..., T, 64)-minor arrays)."""
+    confirmed the 2.0x lane padding on (..., T, 64)-minor arrays).
+
+    quant=True stores int8 K/V with per-position f32 scales ("ks"/"vs",
+    (L, B, H, T)): halves the dominant per-step HBM read. The scale factors
+    out of both attention contractions (logits *= ks, probs *= vs), so no
+    dequantized copy is ever materialized."""
     shape = (dims.decoder_layers, batch, dims.num_heads, dims.head_dim, max_len)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not quant:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = shape[:3] + shape[4:]
+    return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32)}
+
+
+def quantize_kv(x: jnp.ndarray, axis: int = -1) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position symmetric int8 quantization along `axis` (the feature
+    axis). Returns (q int8, scale f32) with x ≈ q * scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), jnp.squeeze(scale, axis=axis)
 
 
 def precompute_cross_kv(params, dims: ModelDims, enc_hidden: jnp.ndarray,
-                        dtype=jnp.bfloat16) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        dtype=jnp.bfloat16, quant: bool = False):
     """Encoder hidden (B, S, D) -> per-layer cross K/V (L, B, H, Dh, S) —
-    S-minor for the same lane-padding reason as init_self_cache."""
+    S-minor for the same lane-padding reason as init_self_cache. With
+    quant=True returns (k_q, v_q, k_scale, v_scale), scales (L, B, H, S)."""
     enc = enc_hidden.astype(dtype)
 
     def one_layer(layer):
@@ -37,6 +57,10 @@ def precompute_cross_kv(params, dims: ModelDims, enc_hidden: jnp.ndarray,
         b, s, d = k.shape
         k = k.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 3, 1)
         v = v.reshape(b, s, dims.num_heads, dims.head_dim).transpose(0, 2, 3, 1)
+        if quant:
+            kq, ks = quantize_kv(k, axis=2)  # feature axis Dh
+            vq, vs = quantize_kv(v, axis=2)
+            return kq, vq, ks, vs
         return k, v
 
     return jax.vmap(one_layer)(params["decoder"]["layers"])

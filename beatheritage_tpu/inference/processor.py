@@ -389,7 +389,8 @@ class Processor:
                 max_len=self.tgt_seq_len, dtype=self.dtype,
                 lookback_mask=lookback_mask,
                 unroll_layers=getattr(self.args, "decode_unroll_layers",
-                                      False))
+                                      False),
+                kv_quant=getattr(self.args, "decode_kv_quant", False))
         tokens = np.asarray(out["tokens"])
         length = int(out["length"])
         return [tokens[i, p:length] for i in range(b)]

@@ -215,13 +215,15 @@ def child() -> None:
     enc_fn = jax.jit(lambda p, a: encode(p, dims, cfg, a, dtype=jnp.bfloat16))
 
     unroll = os.environ.get("BENCH_UNROLL") == "1"
+    kv_quant = os.environ.get("BENCH_KV_QUANT") == "1"
 
     def run(key):
         enc_hidden = enc_fn(params, audio)
         out = engine_generate(
             params, dims, settings, tables, enc_hidden,
             jnp.asarray(prompt), jnp.asarray(mask), eos_mask, key,
-            max_len=max_len, dtype=jnp.bfloat16, unroll_layers=unroll)
+            max_len=max_len, dtype=jnp.bfloat16, unroll_layers=unroll,
+            kv_quant=kv_quant)
         # materialize on host: block_until_ready alone does not synchronize
         # through the axon tunnel
         return np.asarray(out["tokens"]), int(out["length"])

@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--device", default="auto")
     ap.add_argument("--unroll", action="store_true",
                     help="unroll the decoder layer loop (A/B vs the scan)")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache with per-position scales")
     args = ap.parse_args()
 
     from _backend import ensure_backend
@@ -81,7 +83,7 @@ def main() -> int:
             params, dims, settings, tables, enc_hidden, jnp.asarray(prompt),
             jnp.asarray(mask), eos_mask, key,
             max_len=prompt_len + budget, dtype=jnp.bfloat16,
-            unroll_layers=args.unroll)
+            unroll_layers=args.unroll, kv_quant=args.kv_quant)
         return np.asarray(out["tokens"]), int(out["length"])
 
     # warm both budget programs

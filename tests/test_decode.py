@@ -330,3 +330,77 @@ def test_unrolled_layers_match_scanned(setup):
         assert int(outs[False]["length"]) == int(outs[True]["length"])
         np.testing.assert_array_equal(np.asarray(outs[False]["tokens"]),
                                       np.asarray(outs[True]["tokens"]))
+
+
+def test_kv_quant_logits_close_and_generate_valid(setup):
+    """int8 KV with per-position scales (kv_quant): cached-forward logits
+    must stay close to the exact cache (the scale factors out of both
+    contractions, so the only error is int8 rounding), and a full generate
+    must produce a valid terminated stream."""
+    cfg, tok, dims, params, tables = setup
+    b, p = 2, 12
+    rng = np.random.default_rng(11)
+    s = (cfg.data.src_seq_len - 1) // 2 + 1
+    enc = jnp.asarray(rng.standard_normal((b, s, dims.d_model)) * 0.5,
+                      jnp.float32)
+    prompt = np.full((b, p), tok.pad_id, np.int32)
+    prompt[:, -4:] = rng.integers(3, 40, (b, 4))
+    prompt[:, -1] = tok.sos_id
+    mask = jnp.asarray(prompt != tok.pad_id)
+    positions = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+    kv_valid = jnp.concatenate(
+        [mask, jnp.ones((b, 20 - p), bool)], axis=1)
+
+    from beatheritage_tpu.decode.kv_cache import (init_self_cache,
+                                                  precompute_cross_kv)
+    outs = {}
+    for quant in (False, True):
+        cache = init_self_cache(dims, b, 20, jnp.float32, quant=quant)
+        if quant:
+            ck, cv, cks, cvs = precompute_cross_kv(params, dims, enc,
+                                                   jnp.float32, quant=True)
+        else:
+            ck, cv = precompute_cross_kv(params, dims, enc, jnp.float32)
+            cks = cvs = None
+        logits, _ = decoder_cached_forward(
+            params, dims, jnp.asarray(prompt), cache, ck, cv, positions, 0,
+            kv_valid, 20, jnp.float32, cross_ks=cks, cross_vs=cvs)
+        outs[quant] = np.asarray(logits)
+    exact, quantized = outs[False], outs[True]
+    # per-position correlation of the last-token logits must be ~1
+    a = exact[:, -1] - exact[:, -1].mean(-1, keepdims=True)
+    q = quantized[:, -1] - quantized[:, -1].mean(-1, keepdims=True)
+    corr = (a * q).sum(-1) / np.sqrt((a * a).sum(-1) * (q * q).sum(-1))
+    assert np.all(corr > 0.999), corr
+    scale = np.abs(exact[:, -1]).max()
+    assert np.abs(exact[:, -1] - quantized[:, -1]).max() < 0.05 * scale
+
+    # full generate completes and respects the vocab/termination contract
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    out = generate(
+        params, dims, SamplerSettings(do_sample=False), tables, enc,
+        jnp.asarray(prompt), mask, eos_mask, jax.random.PRNGKey(0),
+        max_len=p + 64, dtype=jnp.float32, kv_quant=True)
+    tokens = np.asarray(out["tokens"])
+    assert tokens.shape == (b, p + 64)
+    assert int(out["length"]) > p
+    assert np.all(tokens < tok.vocab_size_out)
+
+
+def test_kv_quant_staged_cache_runs(setup):
+    """Quantized cache + staged growth: scales pad with the cache."""
+    cfg, tok, dims, params, tables = setup
+    b, p = 2, 8
+    rng = np.random.default_rng(13)
+    s = (cfg.data.src_seq_len - 1) // 2 + 1
+    enc = jnp.asarray(rng.standard_normal((b, s, dims.d_model)) * 0.5,
+                      jnp.float32)
+    prompt = np.full((b, p), tok.pad_id, np.int32)
+    prompt[:, -1] = tok.sos_id
+    mask = jnp.asarray(prompt != tok.pad_id)
+    eos_mask = jnp.zeros((tok.vocab_size_out,), bool)  # run all stages
+    out = generate(
+        params, dims, SamplerSettings(do_sample=True, top_k=8), tables, enc,
+        jnp.asarray(prompt), mask, eos_mask, jax.random.PRNGKey(1),
+        max_len=p + 1540, dtype=jnp.float32, cache_buckets=4, kv_quant=True)
+    assert int(out["length"]) == p + 1540
