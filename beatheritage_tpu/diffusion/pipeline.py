@@ -322,9 +322,15 @@ class DiffusionPipeline:
                 self._seg_sampler = cached
                 return cached
 
-            def seg_fn(params, x, key, ts, c, y, band, mask, z_ref):
+            from .slider_jax import project_slider_ends  # noqa: PLC0415
+
+            def seg_fn(params, x, key, ts, c, y, band, mask, z_ref, tables):
                 def inpaint(xx):
-                    return jnp.where(mask, xx, z_ref)
+                    xx = jnp.where(mask, xx, z_ref)
+                    # per-step slider-end projection ON DEVICE (the
+                    # reference runs this as a host callback every step;
+                    # empty tables are the identity)
+                    return project_slider_ends(xx, tables)
 
                 def model_fn(xx, tt):
                     return dit_forward_cfg(params, dims, xx, tt, c, y,
@@ -370,9 +376,12 @@ class DiffusionPipeline:
 
         # host callbacks are unsupported on this image's TPU backend (axon
         # PJRT reports backend 'tpu' but rejects pure_callback); keep the
-        # fused-callback path for CPU/GPU and run padded scan segments with
-        # periodic host projections on TPU
-        callbacks_ok = jax.default_backend() not in ("axon", "tpu")
+        # exact-geometry callback path for CPU/GPU and the unified program
+        # with the device-side projection (slider_jax) on TPU.
+        # BH_UNIFIED_SAMPLER=1 forces the unified path (tests/A-B).
+        import os  # noqa: PLC0415
+        callbacks_ok = (jax.default_backend() not in ("axon", "tpu")
+                        and not os.environ.get("BH_UNIFIED_SAMPLER"))
 
         x0 = np.where(mask, np.asarray(z_part, np.float32),
                       np.asarray(z_ref, np.float32))
@@ -428,35 +437,32 @@ class DiffusionPipeline:
             band_p = jnp.asarray(band_p)
 
             seg = self._unified_sampler(schedule)
-            if chunk_sliders:
-                every = max(int(self.slider_fix_steps), 1)
-                # equalize segment lengths -> at most two program shapes
-                n_segs = max(1, -(-entry // every))
-                every = -(-entry // n_segs)
-            else:
-                every = entry
+            # slider-end projection runs inside the jitted scan every step
+            # (diffusion/slider_jax.py) — no host round-trips mid-chain;
+            # indices stay valid under the padded length (all < t_len)
+            from .slider_jax import build_slider_tables  # noqa: PLC0415
+            tables = {k: jnp.asarray(v) for k, v in build_slider_tables(
+                chunk_sliders, start, t_len).items()}
             x = jnp.asarray(pad_t(x0))
-            t_hi = entry
-            while t_hi > 0:
-                t_lo = max(0, t_hi - every)
-                ts = jnp.arange(t_hi - 1, t_lo - 1, -1)
-                x = seg(self.params, x, self._next_key(), ts,
-                        c_p, y, band_p, mask_p, zref_p)
-                if chunk_sliders and t_lo > 0:
-                    x_np = np.array(x)  # writable host copy
-                    x_np[:, :t_len] = host_fix_slider_ends(x_np[:, :t_len])
-                    x = jnp.asarray(x_np)
-                t_hi = t_lo
+            ts = jnp.arange(entry - 1, -1, -1)
+            x = seg(self.params, x, self._next_key(), ts,
+                    c_p, y, band_p, mask_p, zref_p, tables)
             samples = np.asarray(x)[:, :t_len]
             if chunk_sliders:
+                # final projection stays on host: exact osu! geometry
                 samples = host_fix_slider_ends(samples)
 
         if self.refine_params is not None:
             mask_j = jnp.asarray(mask)
             z_ref_j = jnp.asarray(z_ref)
+            from .slider_jax import build_slider_tables  # noqa: PLC0415
+            rtables = {k: jnp.asarray(v) for k, v in build_slider_tables(
+                chunk_sliders, start, t_len).items()}
+            from .slider_jax import project_slider_ends  # noqa: PLC0415
 
             def inpaint_r(x):
-                return jnp.where(mask_j, x, z_ref_j)
+                return project_slider_ends(
+                    jnp.where(mask_j, x, z_ref_j), rtables)
 
             def refine_fn(x, t):
                 return dit_forward_cfg(self.refine_params, self.dims, x, t,
@@ -470,10 +476,9 @@ class DiffusionPipeline:
                     schedule, refine_fn, samples_j,
                     jnp.zeros((), jnp.int32), self._next_key(),
                     clip_denoised=True, denoised_fn=inpaint_r)
-                if chunk_sliders:
-                    samples_j = jnp.asarray(
-                        host_fix_slider_ends(np.array(samples_j)))
             samples = np.asarray(samples_j)
+            if chunk_sliders:
+                samples = host_fix_slider_ends(samples)
         return np.asarray(samples, np.float32)
 
     @staticmethod

@@ -269,3 +269,45 @@ def test_loss_second_moment_resampler():
                       np.int32)
     with pytest.raises(ValueError):
         create_schedule_sampler("nope", 8)
+
+
+def test_unified_sampler_matches_callback_path(monkeypatch):
+    """The TPU path (device-side slider projection inside one jitted scan,
+    BH_UNIFIED_SAMPLER=1) must produce positions close to the exact-geometry
+    host-callback path: same keys, same noise draws — the only divergence is
+    the K-point polyline approximation of slider arc length."""
+    import os
+    args = load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "diff_cfg_scale=1.0", "max_seq_len=32", "overlap_buffer=4",
+        "timesteps=[4]", "seed=7",
+    ])
+    events = [
+        Event(EventType.CIRCLE), Event(EventType.TIME_SHIFT, 1000),
+        Event(EventType.DISTANCE, 50),
+        Event(EventType.SLIDER_HEAD), Event(EventType.TIME_SHIFT, 1500),
+        Event(EventType.DISTANCE, 80),
+        Event(EventType.BEZIER_ANCHOR), Event(EventType.DISTANCE, 40),
+        Event(EventType.LAST_ANCHOR), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.DISTANCE, 40),
+        Event(EventType.SLIDER_END), Event(EventType.TIME_SHIFT, 2000),
+        Event(EventType.DISTANCE, 10),
+    ]
+    timing = [TimingPoint(offset=0.0, ms_per_beat=500.0)]
+    gen_cfg = __import__(
+        "beatheritage_tpu.inference.processor", fromlist=["GenerationConfig"]
+    ).GenerationConfig()
+
+    outs = {}
+    for unified in (False, True):
+        if unified:
+            monkeypatch.setenv("BH_UNIFIED_SAMPLER", "1")
+        else:
+            monkeypatch.delenv("BH_UNIFIED_SAMPLER", raising=False)
+        out = DiffusionPipeline(args).generate(events, gen_cfg, timing,
+                                               verbose=False)
+        outs[unified] = [(e.type, e.value) for e in out
+                         if e.type in (EventType.POS_X, EventType.POS_Y)]
+    assert len(outs[False]) == len(outs[True])
+    for (ta, va), (tb, vb) in zip(outs[False], outs[True]):
+        assert ta == tb
+        assert abs(va - vb) <= 3, (outs[False], outs[True])
