@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--end", type=int, default=200)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default="/tmp/eval_classifier.json")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra train-config overrides (must match the "
+                         "checkpoint's arch, e.g. model.arch.d_model=192)")
     args = ap.parse_args()
 
     from _backend import ensure_backend
@@ -52,7 +55,7 @@ def main() -> int:
     from beatheritage_tpu.train.checkpoints import restore_params
 
     cfg = load_config(TrainConfig, "train", args.config, overrides=[
-        f"data.train_dataset_path={args.dataset}"])
+        f"data.train_dataset_path={args.dataset}"] + args.override)
     tokenizer = Tokenizer(cfg)
     tokenizer.load_dataset_indices(load_mmrs_metadata(args.dataset))
     parser_obj = BeatmapParser(cfg, tokenizer)
