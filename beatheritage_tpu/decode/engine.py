@@ -459,12 +459,12 @@ def generate(params, dims: ModelDims, settings: SamplerSettings,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "settings", "tables", "max_len", "num_beams",
-                     "dtype"))
+                     "dtype", "kv_quant"))
 def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
                   tables: TokenTables, enc_hidden: jnp.ndarray,
                   prompt: jnp.ndarray, prompt_mask: jnp.ndarray,
                   eos_mask: jnp.ndarray, *, max_len: int, num_beams: int = 2,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, kv_quant: bool = False):
     """Jitted beam search (do_sample=False path for num_beams > 1;
     reference uses HF beam search via num_beams/timer_num_beams,
     processor.py:150). CFG is not combined with beams (matches practical
@@ -484,8 +484,13 @@ def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
     prompt_k = expand(prompt.astype(jnp.int32))
     mask_k = expand(prompt_mask.astype(bool))
 
-    cache = init_self_cache(dims, bk, max_len, dtype)
-    cross_k, cross_v = precompute_cross_kv(params, dims, enc_k, dtype)
+    cache = init_self_cache(dims, bk, max_len, dtype, quant=kv_quant)
+    if kv_quant:
+        cross_k, cross_v, cross_ks, cross_vs = precompute_cross_kv(
+            params, dims, enc_k, dtype, quant=True)
+    else:
+        cross_k, cross_v = precompute_cross_kv(params, dims, enc_k, dtype)
+        cross_ks = cross_vs = None
     qkv = fuse_qkv(params, dtype)
 
     tokens = jnp.full((bk, max_len), tables.pad_id, jnp.int32)
@@ -495,7 +500,8 @@ def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
     positions_prompt = jnp.clip(jnp.cumsum(mask_k.astype(jnp.int32), axis=1) - 1, 0)
     prefill_logits, cache = decoder_cached_forward(
         params, dims, prompt_k, cache, cross_k, cross_v, positions_prompt, 0,
-        kv_valid, max_len, dtype, qkv=qkv)
+        kv_valid, max_len, dtype, qkv=qkv, cross_ks=cross_ks,
+        cross_vs=cross_vs)
 
     last_ts, has_ts = _prompt_monotonic_state(prompt_k, mask_k, tables)
 
@@ -544,7 +550,9 @@ def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
         gather = (jnp.arange(b)[:, None] * k + parent).reshape(-1)  # (BK,)
         token_flat = token.reshape(-1)
         tokens = s["tokens"][gather].at[:, step].set(token_flat)
-        cache = {"k": s["cache"]["k"][:, gather], "v": s["cache"]["v"][:, gather]}
+        # beam reorder: every cache entry (K/V and quant scales) has the
+        # beam-batch at axis 1
+        cache = {name: arr[:, gather] for name, arr in s["cache"].items()}
         finished = s["finished"][gather] | eos_mask[token_flat]
         scores = top_scores.reshape(-1)
 
@@ -557,7 +565,7 @@ def beam_generate(params, dims: ModelDims, settings: SamplerSettings,
         step_logits, cache = decoder_cached_forward(
             params, dims, tokens[:, step][:, None], cache, cross_k, cross_v,
             s["pos_next"][gather][:, None], step, kv_valid, max_len, dtype,
-            qkv=qkv)
+            qkv=qkv, cross_ks=cross_ks, cross_vs=cross_vs)
 
         return {
             "tokens": tokens,

@@ -371,7 +371,8 @@ class Processor:
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask,
                 max_len=self.tgt_seq_len, num_beams=self.num_beams,
-                dtype=self.dtype)
+                dtype=self.dtype,
+                kv_quant=getattr(self.args, "decode_kv_quant", False))
         elif getattr(self.args, "speculative_k", 0) > 0:
             from ..decode.speculative import generate_speculative  # noqa: PLC0415
             out = aot_call(

@@ -404,3 +404,35 @@ def test_kv_quant_staged_cache_runs(setup):
         jnp.asarray(prompt), mask, eos_mask, jax.random.PRNGKey(1),
         max_len=p + 1540, dtype=jnp.float32, cache_buckets=4, kv_quant=True)
     assert int(out["length"]) == p + 1540
+
+
+def test_beam_kv_quant_runs_and_close_to_exact(setup):
+    """Quantized-KV beam search (the super-timing path) runs, gathers the
+    scales with the cache on beam reorder, and its greedy-beam stream stays
+    consistent with the exact cache on an easy prompt."""
+    cfg, tok, dims, params, tables = setup
+    from beatheritage_tpu.decode.engine import beam_generate
+    b, p = 2, 8
+    rng = np.random.default_rng(17)
+    s = (cfg.data.src_seq_len - 1) // 2 + 1
+    enc = jnp.asarray(rng.standard_normal((b, s, dims.d_model)) * 0.5,
+                      jnp.float32)
+    prompt = np.full((b, p), tok.pad_id, np.int32)
+    prompt[:, -1] = tok.sos_id
+    mask = jnp.asarray(prompt != tok.pad_id)
+    eos_mask = jnp.asarray(tables.eos_token_mask())
+    settings = SamplerSettings(do_sample=False)
+    outs = {}
+    for quant in (False, True):
+        outs[quant] = beam_generate(
+            params, dims, settings, tables, enc, jnp.asarray(prompt), mask,
+            eos_mask, max_len=p + 48, num_beams=2, dtype=jnp.float32,
+            kv_quant=quant)
+    a = np.asarray(outs[False]["tokens"])
+    q = np.asarray(outs[True]["tokens"])
+    assert a.shape == q.shape
+    # int8 noise may flip low-margin beam decisions on random weights; the
+    # contract is a valid stream and a mostly-agreeing prefix
+    agree = (a[:, p:p + 16] == q[:, p:p + 16]).mean()
+    assert agree > 0.5, agree
+    assert np.all(q < tok.vocab_size_out)
