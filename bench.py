@@ -20,7 +20,7 @@ SIGTERM then SIGKILL by pid.
 
 Env knobs:
   BENCH_BACKEND_WAIT   seconds to wait for the relay port (default 600)
-  BENCH_CHILD_TIMEOUT  per-attempt run timeout (default 2400: remote cold
+  BENCH_CHILD_TIMEOUT  per-attempt run timeout (default 2700: remote cold
                        compiles take 10-15 min when the AOT cache is cold)
   BENCH_MAX_ATTEMPTS   measurement attempts before giving up (default 3)
   BENCH_FORCE_CPU=1    skip the relay probe and measure on CPU (smoke test
@@ -77,7 +77,7 @@ def _diagnostic(reason: str, detail: dict) -> None:
 
 def main() -> int:
     backend_wait = float(os.environ.get("BENCH_BACKEND_WAIT", "600"))
-    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "2400"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "2700"))
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
     force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
 
@@ -217,9 +217,16 @@ def child() -> None:
     unroll = os.environ.get("BENCH_UNROLL") == "1"
     kv_quant = os.environ.get("BENCH_KV_QUANT") == "1"
 
+    # serialize/reuse the compiled decode executable across processes: the
+    # driver runs bench.py in a fresh process and the XLA persistent cache
+    # does not capture remote-compiled binaries (decode/aot.py)
+    from beatheritage_tpu.decode.aot import aot_call, default_cache_dir
+    aot_dir = default_cache_dir()
+
     def run(key):
         enc_hidden = enc_fn(params, audio)
-        out = engine_generate(
+        out = aot_call(
+            engine_generate, aot_dir,
             params, dims, settings, tables, enc_hidden,
             jnp.asarray(prompt), jnp.asarray(mask), eos_mask, key,
             max_len=max_len, dtype=jnp.bfloat16, unroll_layers=unroll,
