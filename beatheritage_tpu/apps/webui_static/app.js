@@ -322,6 +322,7 @@ function formState() {
 }
 
 function applyState(data) {
+  const prevModel = form.elements.config?.value;
   for (const [k, v] of Object.entries(data)) {
     const el = form.elements[k];
     if (!el || k === "in_context_options") continue;
@@ -337,6 +338,9 @@ function applyState(data) {
   renderDescriptors();
   updateVisibility();
   updateClearButtons();
+  // a state with a different model needs its descriptors/capabilities
+  if (form.elements.config && form.elements.config.value !== prevModel)
+    loadModelDependent();
 }
 
 function persistState() {
@@ -393,6 +397,7 @@ $("reset-config-btn").onclick = () => {
   localStorage.removeItem("bh_config");
   form.reset();
   applyState(FORM_DEFAULTS);
+  loadModelDependent();
   configStatus("All settings reset to defaults", true);
 };
 
