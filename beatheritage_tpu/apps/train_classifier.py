@@ -76,9 +76,13 @@ def main(argv=None) -> int:
     lo = cfg.data.train_dataset_start
     hi = min(cfg.data.train_dataset_end, len(set_ids))
     md_train = md.loc[set_ids[lo:hi]]
-    # validation: the held-out slice after train_dataset_end (the same
-    # sets scripts/eval_classifier.py scores)
-    vlo, vhi = hi, min(cfg.data.test_dataset_end, len(set_ids))
+    # validation: honor test_dataset_start when it points inside the corpus
+    # (clamped past the train slice so train windows never leak into the
+    # val score); otherwise the held-out slice starts right after training
+    vlo = (cfg.data.test_dataset_start
+           if 0 <= cfg.data.test_dataset_start < len(set_ids) else hi)
+    vlo = max(vlo, hi)
+    vhi = min(cfg.data.test_dataset_end, len(set_ids))
     md_val = md.loc[set_ids[vlo:vhi]] if vhi > vlo else None
 
     def epochs():

@@ -719,29 +719,35 @@ form.onsubmit = async (e) => {
   $("cancel-button").disabled = false;
   $("cancel-button").textContent = "Cancel";
 
-  const r = await fetch("/start_inference", {
-    method: "POST",
-    headers: { "Content-Type": "application/json" },
-    body: JSON.stringify(formState()),
-  });
-  if (!r.ok) {
-    const err = (await r.json()).error || "failed to start inference";
-    flash(err, "error");
+  let resultPath = null;
+  try {
+    const r = await fetch("/start_inference", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(formState()),
+    });
+    if (!r.ok) {
+      let err = "failed to start inference";
+      try { err = (await r.json()).error || err; } catch (_) { /* html */ }
+      flash(err, "error");
+      $("progress-section").hidden = true;
+      return;
+    }
+
+    await streamInto((line) => {
+      Run.handleLine(line);
+      const m = line.match(/saved to (.*\.osu)|Added generated content to (.*\.osu)/);
+      if (m) resultPath = m[1] || m[2];
+    });
+  } catch (err) {
+    // server restart / dropped stream: report instead of wedging the form
+    Run.errored = true;
+    flash("Connection to the generation process was lost", "error");
+  } finally {
     $("generate-btn").disabled = false;
     $("cancel-button").hidden = true;
-    $("progress-section").hidden = true;
-    return;
   }
-
-  let resultPath = null;
-  await streamInto((line) => {
-    Run.handleLine(line);
-    const m = line.match(/saved to (.*\.osu)|Added generated content to (.*\.osu)/);
-    if (m) resultPath = m[1] || m[2];
-  });
-
-  $("generate-btn").disabled = false;
-  $("cancel-button").hidden = true;
+  if ($("progress-section").hidden) return;
 
   if (Run.cancelled) {
     Run.finishRunning(false);

@@ -456,10 +456,10 @@ class InferenceConfig:
     timesteps: list = field(default_factory=lambda: [100, 0, 0, 0, 0, 0, 0, 0, 0, 0])
     max_seq_len: int = 1024
     overlap_buffer: int = 128
-    # on backends without host callbacks (axon), apply the host slider-end
-    # projection every N respaced steps between device-side scan segments
-    # (reference diffusion_pipeline.py:203 applies it per step via
-    # denoised_fn; the in-painting projection still runs per step on device)
+    # DEPRECATED no-op (kept for config compatibility): the slider-end
+    # projection now runs on device INSIDE the jitted sampler every step
+    # (diffusion/slider_jax.py), so there is no host-projection cadence to
+    # tune anymore
     slider_fix_steps: int = 5
     # when refining coarse decode positions (random_init=false), enter the
     # reverse chain at this respaced step instead of the top. The coarse

@@ -93,7 +93,6 @@ class DiffusionPipeline:
         self.overlap_buffer = args.overlap_buffer
         self.timesteps = args.timesteps
         self.cfg_scale = args.diff_cfg_scale
-        self.slider_fix_steps = getattr(args, "slider_fix_steps", 5)
         self.refine_entry = getattr(args, "refine_entry", 0)
         self.refine_iters = args.refine_iters
         self.random_init = args.random_init
@@ -381,7 +380,7 @@ class DiffusionPipeline:
         # BH_UNIFIED_SAMPLER=1 forces the unified path (tests/A-B).
         import os  # noqa: PLC0415
         callbacks_ok = (jax.default_backend() not in ("axon", "tpu")
-                        and not os.environ.get("BH_UNIFIED_SAMPLER"))
+                        and os.environ.get("BH_UNIFIED_SAMPLER") != "1")
 
         x0 = np.where(mask, np.asarray(z_part, np.float32),
                       np.asarray(z_ref, np.float32))
@@ -416,10 +415,9 @@ class DiffusionPipeline:
             # ONE padded jitted program for every chunk of every song (see
             # _unified_sampler): chunk-varying tensors are arguments, pad
             # rows are frozen by the in-paint mask and excluded from the
-            # attention band. The host slider projection (when needed) runs
-            # every slider_fix_steps between device-side scan segments — a
-            # fresh jit per chunk used to cost a full remote compile, and a
-            # per-step host round-trip ~50-100 ms through the device tunnel.
+            # attention band. Slider-end projection happens on device every
+            # step inside the scan (slider_jax.py), replacing the r3 host
+            # round-trips (~50-100 ms each through the device tunnel).
             S = max(self.max_seq_len, t_len)
             pad = S - t_len
 

@@ -540,8 +540,10 @@ class Processor:
         # contexts in template order, so later ones are pure waste for e.g.
         # a timing-only pass). Divergence from the reference, which always
         # generates the full template and discards the unrequested tail
-        # (reference processor.py:618-620).
-        requested = [oc for oc in out_context if oc in all_out] or gen_out
+        # (reference processor.py:618-620). Filter against gen_out (not
+        # all_out) so the non-mania SV suppression above is respected even
+        # when SV itself is requested.
+        requested = [oc for oc in out_context if oc in gen_out] or gen_out
         count = max(all_out.index(oc) for oc in requested) + 1
         return gen_in, all_out[:count], req_special
 

@@ -62,7 +62,10 @@ class SuperTimingGenerator:
         # into ONE row stream so the engine runs full max_batch_size batches
         # across passes (generate_many) instead of N under-sized decodes —
         # the reference loops one sequential pass at a time
-        # (super_timing_generator.py:41).
+        # (super_timing_generator.py:41). All passes' window stacks are
+        # materialized up front: ~iterations x song-length float32 on host
+        # (~0.5 GB worst case for a 5-minute song at 20 passes), a deliberate
+        # trade for full device batches.
         rng = np.random.default_rng(self.args.seed if self.args.seed is not None else 0)
         jobs, offsets = [], []
         for _ in range(self.iterations):

@@ -7,6 +7,7 @@ to the pure-Python implementations when the shared library is absent.
 from __future__ import annotations
 
 import ctypes
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -22,14 +23,26 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _lib
     if not _LIB_PATH.exists():
         # Build on first use: the .so is not shipped in git or the wheel.
+        # Build to a temp name + atomic rename so a concurrent loader never
+        # sees a half-written library.
         try:
             from .build import build
-            build(verbose=False)
+            tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
+            build(verbose=False, out=tmp)
+            os.replace(tmp, _LIB_PATH)
         except Exception:
             return None
         if not _LIB_PATH.exists():
             return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        # corrupt/foreign-arch library: drop it so the next call rebuilds
+        try:
+            _LIB_PATH.unlink()
+        except OSError:
+            pass
+        return None
     lib.bh_decode_wav.restype = ctypes.c_int
     lib.bh_decode_wav.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_double,

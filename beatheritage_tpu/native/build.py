@@ -8,9 +8,9 @@ import sys
 from pathlib import Path
 
 
-def build(verbose: bool = True) -> Path:
+def build(verbose: bool = True, out: Path | None = None) -> Path:
     src = Path(__file__).parent / "audio_native.cpp"
-    out = Path(__file__).parent / "libbhaudio.so"
+    out = Path(out) if out is not None else Path(__file__).parent / "libbhaudio.so"
     # Portable baseline for distributed wheels; override for a local tuned
     # build with BH_NATIVE_MARCH=native.
     march = os.environ.get("BH_NATIVE_MARCH", "x86-64-v2")

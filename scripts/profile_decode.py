@@ -100,11 +100,22 @@ def main() -> int:
     t_half = time.perf_counter() - t0
     steps_full = len_full - prompt_len
     steps_half = len_half - prompt_len
-    per_step = ((t_full - t_half) / max(steps_full - steps_half, 1))
+    delta = steps_full - steps_half
+    if delta <= 0:
+        # both runs hit the same early EOS: the slope is undefined
+        print(json.dumps({
+            "windows": args.windows, "per_step_ms": None,
+            "error": "both runs terminated at the same step "
+                     f"({steps_full}); raise --budget or relax eos",
+            "full_run_s": round(t_full, 3), "half_run_s": round(t_half, 3),
+        }))
+        return 1
+    per_step = (t_full - t_half) / delta
     print(json.dumps({
         "windows": args.windows,
         "per_step_ms": round(per_step * 1000, 3),
         "tokens_per_sec_aggregate": round(args.windows / per_step, 1),
+        "slope_steps": delta,
         "full_run_s": round(t_full, 3),
         "half_run_s": round(t_half, 3),
     }))
