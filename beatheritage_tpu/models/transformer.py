@@ -412,6 +412,26 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
     return (x @ params["lm_head"].astype(dtype)).astype(jnp.float32)
 
 
+def decoder_block(dims: ModelDims):
+    """One decoder layer as a pipelineable ``block_fn(layer, h, enc, cos,
+    sin) -> h`` (plain attention path, no masks) for the GPipe stage split
+    in parallel/pipeline.py. Numerically identical to decode_train's scan
+    body with use_flash=False and no padding masks."""
+
+    def block(layer, h, enc, cos, sin):
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
+                                cos, sin, dims.num_heads, is_causal=True)
+        hn = rms_norm(h, layer["ln2"]["g"])
+        out4 = dot_product_attention(
+            split_heads(_linear(hn, layer["xq"]), dims.num_heads),
+            split_heads(_linear(enc, layer["xk"]), dims.num_heads),
+            split_heads(_linear(enc, layer["xv"]), dims.num_heads))
+        h = h + _linear(merge_heads(out4), layer["xo"])
+        return h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
+
+    return block
+
+
 def forward(params, dims: ModelDims, cfg, audio, decoder_input_ids, *,
             decoder_attention_mask=None, beatmap_idx=None, difficulty=None,
             mapper_idx=None, song_position=None, dtype=jnp.bfloat16,

@@ -101,12 +101,7 @@ def test_production_decoder_layer_pipelined():
     Output must match the sequential scan used in production."""
     from beatheritage_tpu.config import TrainConfig, load_config
     from beatheritage_tpu.models import ModelDims, init_params
-    from beatheritage_tpu.models.transformer import (
-        _ffn, _self_attention, rms_norm, _linear,
-    )
-    from beatheritage_tpu.ops.attention import (
-        dot_product_attention, merge_heads, split_heads,
-    )
+    from beatheritage_tpu.models.transformer import decoder_block
     from beatheritage_tpu.ops.rope import rope_cos_sin
     from beatheritage_tpu.tokenizer import Tokenizer
 
@@ -131,17 +126,7 @@ def test_production_decoder_layer_pipelined():
         scaling_factor=dims.rope_decoder_scaling, rope_type=dims.rope_type,
         dtype=jnp.float32)
 
-    def block(layer, h, enc_mb, cos, sin):
-        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
-                                cos, sin, dims.num_heads, is_causal=True)
-        hn = rms_norm(h, layer["ln2"]["g"])
-        out4 = dot_product_attention(
-            split_heads(_linear(hn, layer["xq"]), dims.num_heads),
-            split_heads(_linear(enc_mb, layer["xk"]), dims.num_heads),
-            split_heads(_linear(enc_mb, layer["xv"]), dims.num_heads))
-        h = h + _linear(merge_heads(out4), layer["xo"])
-        return h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
-
+    block = decoder_block(dims)
     ref = _sequential(block, layers, x, enc, cos, sin)
     mesh = _stage_mesh(n_stages)
     apply = pipelined(mesh, block, num_microbatches=2)
