@@ -8,6 +8,8 @@ osu://edit timestamp links.
 
 from __future__ import annotations
 
+from . import excepthook  # noqa: F401  (reference: excepthook.py — friendly error hints)
+
 import argparse
 import dataclasses
 import sys

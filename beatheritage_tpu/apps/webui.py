@@ -10,6 +10,8 @@ surface; the front-end lives in webui_static/.
 
 from __future__ import annotations
 
+from . import excepthook  # noqa: F401  (reference: excepthook.py — friendly error hints)
+
 import json
 import mimetypes
 import os
