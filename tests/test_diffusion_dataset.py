@@ -167,3 +167,58 @@ def test_trainer_smoke_and_resume(cfg, corpus, tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "resumed from" in out.stdout
     assert latest_state_dir(ckpt).name == "state_3"
+
+
+def test_class_vector_conditioning_reaches_model(cfg, corpus):
+    """VERDICT r3 item 2 infrastructure: with corpus tables loaded, the
+    dataset's y vectors carry real (non-unk) style/diff/mapper/cs entries,
+    and dit_forward output actually depends on them (a DiT trained on
+    these y's is conditioned, unlike the r3 class_size=48 run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beatheritage_tpu.data.dataset import load_mmrs_metadata
+    from beatheritage_tpu.models.dit import (DiTDims, dit_forward,
+                                             init_dit_params)
+
+    tok = DiffusionTokenizer(cfg)
+    tok.load_dataset_indices(load_mmrs_metadata(corpus), cfg)
+    ds = DiffusionDataset(cfg, tok, test=True)  # test mode: no dropout
+    ex = next(iter(ds))
+    y = ex["y"]
+    assert y.shape == (tok.num_tokens,)
+    hot = set(np.flatnonzero(y).tolist())
+    unks = {tok.style_unk, tok.diff_unk, tok.mapper_unk,
+            tok.descriptor_unk, tok.cs_unk}
+    # diff, mapper and cs (+ style when the config has a style block) must
+    # be REAL classes; the fixture corpus has no descriptor tags so
+    # descriptor falls to unk by design
+    want_real = 3 + (1 if tok.num_classes > 0 else 0)
+    assert len(hot - unks) >= want_real, \
+        f"class vector mostly unk: {sorted(hot)} vs unks {sorted(unks)}"
+
+    dims = DiTDims.from_name("DiT-test", context_size=cfg.model.context_size,
+                             class_size=tok.num_tokens)
+    params = init_dit_params(jax.random.PRNGKey(0), dims)
+    # adaLN-Zero zero-inits the modulation MLPs, making the INIT output
+    # conditioning-independent by design — perturb every zero leaf so the
+    # conditioning path is live, as it is after any training
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+              if np.all(np.asarray(l) == 0) else l
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    L = cfg.data.seq_len
+    x = jnp.asarray(ex["x"])[None]
+    t = jnp.zeros((1,), jnp.int32) + 5
+    c = jnp.concatenate([
+        np.zeros((L, 128), np.float32), np.zeros((L, 128), np.float32),
+        ex["k"].astype(np.float32)], axis=-1)[None]
+    out_real = dit_forward(params, dims, x, t, c, jnp.asarray(y)[None])
+    y_unk = np.zeros_like(y)
+    for u in unks:
+        y_unk[u] = 1
+    out_unk = dit_forward(params, dims, x, t, c, jnp.asarray(y_unk)[None])
+    diff = float(np.max(np.abs(np.asarray(out_real) - np.asarray(out_unk))))
+    assert diff > 1e-6, "dit_forward ignores the class vector"
