@@ -16,6 +16,7 @@ import json
 import mimetypes
 import os
 import platform
+import re
 import subprocess
 import sys
 import tempfile
@@ -48,10 +49,14 @@ class InferenceProcess:
     LOG_DIR and an in-memory line buffer that /stream_output follows, so the
     full log survives the stream (reference logs to script_dir/logs)."""
 
+    RESULT_RE = re.compile(
+        r"saved to (.*\.osu)|Added generated content to (.*\.osu)")
+
     def __init__(self):
         self.proc: subprocess.Popen | None = None
         self.lock = threading.Lock()
         self.log_path: Path | None = None
+        self.result_path: Path | None = None
         self._lines: list[str] = []
         self._pump_thread: threading.Thread | None = None
 
@@ -60,6 +65,7 @@ class InferenceProcess:
             self.cancel()
             LOG_DIR.mkdir(parents=True, exist_ok=True)
             self.log_path = LOG_DIR / time.strftime("run_%Y%m%d_%H%M%S.log")
+            self.result_path = None
             self._lines = []
             self.proc = subprocess.Popen(
                 [sys.executable, "-m", module] + args,
@@ -75,6 +81,11 @@ class InferenceProcess:
             for line in proc.stdout:
                 f.write(line)
                 f.flush()
+                m = self.RESULT_RE.search(line)
+                if m:
+                    # the ONLY path /result_beatmap will serve: the file the
+                    # run itself reported, never a client-supplied path
+                    self.result_path = Path(m.group(1) or m.group(2))
                 lines.append(line)
             proc.wait()
             tail = f"\n[exit code {proc.returncode}]\n"
@@ -304,6 +315,16 @@ class Handler(BaseHTTPRequestHandler):
                 self._send(200, MAIMOD_JSON.read_text(), "application/json")
             else:
                 self._json([])
+        elif path == "/result_beatmap":
+            # the generated .osu for the in-browser preview canvas; serves
+            # ONLY the path the last run itself reported (no client paths)
+            rp = STATE.result_path
+            if rp is not None and rp.suffix == ".osu" and rp.is_file():
+                self._send(200, rp.read_text(encoding="utf-8",
+                                             errors="replace"),
+                           "text/plain; charset=utf-8")
+            else:
+                self._json({"error": "no generated beatmap available"}, 404)
         elif path == "/open_folder":
             # (reference web-ui.py:413) open a folder in the file explorer
             folder = q.get("folder", [""])[0]

@@ -856,6 +856,190 @@ function renderSuggestions(suggs) {
 }
 
 // =============================================================================
+// Beatmap preview — renders the generated .osu on a canvas with a time
+// scrubber (beyond the reference client, which only links the output file).
+// Slider bodies are drawn as polylines through the control points (the
+// true osu! curves are Bezier/Catmull/arc; the polyline is an honest
+// preview approximation).
+// =============================================================================
+
+const Preview = {
+  objects: [], radius: 30, preempt: 1200, length: 1, playing: false,
+
+  parse(text) {
+    const sections = {};
+    let cur = null;
+    for (const raw of text.split(/\r?\n/)) {
+      const line = raw.trim();
+      if (!line || line.startsWith("//")) continue;
+      const m = line.match(/^\[(\w+)\]$/);
+      if (m) { cur = m[1]; sections[cur] = []; continue; }
+      if (cur) sections[cur].push(line);
+    }
+    const diff = {};
+    for (const l of sections.Difficulty || []) {
+      const [k, v] = l.split(":");
+      diff[k.trim()] = parseFloat(v);
+    }
+    const cs = isNaN(diff.CircleSize) ? 4 : diff.CircleSize;
+    this.radius = 54.4 - 4.48 * cs;
+    const ar = isNaN(diff.ApproachRate) ? 9 : diff.ApproachRate;
+    this.preempt = ar < 5 ? 1800 - 120 * ar : 1200 - 150 * (ar - 5);
+    const sm = diff.SliderMultiplier || 1.4;
+
+    // timing points: [time, beatLength, ...] — negative beatLength is an
+    // inherited (SV) point: SV = -100 / beatLength
+    const timing = (sections.TimingPoints || []).map((l) => {
+      const p = l.split(",").map(Number);
+      return { time: p[0], beatLength: p[1], uninherited: p[1] > 0 };
+    });
+    const beatAt = (t) => {
+      let bl = 500;
+      for (const tp of timing)
+        if (tp.uninherited && tp.time <= t) bl = tp.beatLength;
+      return bl;
+    };
+    const svAt = (t) => {
+      let sv = 1;
+      for (const tp of timing) {
+        if (tp.uninherited && tp.time <= t) sv = 1;
+        else if (!tp.uninherited && tp.time <= t) sv = -100 / tp.beatLength;
+      }
+      return sv;
+    };
+
+    this.objects = [];
+    for (const l of sections.HitObjects || []) {
+      const parts = l.split(",");
+      const [x, y, time, type] = parts.slice(0, 4).map(Number);
+      const o = { x, y, time, end: time, kind: "circle", path: [[x, y]] };
+      if (type & 2) {
+        o.kind = "slider";
+        const curve = (parts[5] || "").split("|").slice(1);
+        for (const pt of curve) {
+          const [cx, cy] = pt.split(":").map(Number);
+          if (!isNaN(cx)) o.path.push([cx, cy]);
+        }
+        const slides = parseInt(parts[6] || "1", 10) || 1;
+        const len = parseFloat(parts[7] || "0") || 0;
+        o.end = time + (len / (sm * 100 * svAt(time))) * beatAt(time) * slides;
+      } else if (type & 8) {
+        o.kind = "spinner";
+        o.end = parseInt(parts[5] || time, 10) || time;
+        o.x = 256; o.y = 192;
+      } else if (type & 128) {
+        o.kind = "hold";
+        o.end = parseInt((parts[5] || "").split(":")[0] || time, 10) || time;
+      }
+      this.objects.push(o);
+    }
+    this.length = this.objects.length
+      ? Math.max(...this.objects.map((o) => o.end)) + 1000 : 1;
+  },
+
+  draw(t) {
+    const canvas = $("preview-canvas");
+    const ctx = canvas.getContext("2d");
+    const sx = canvas.width / 512, sy = canvas.height / 384;
+    ctx.fillStyle = "#14181f";
+    ctx.fillRect(0, 0, canvas.width, canvas.height);
+    const visible = this.objects.filter(
+      (o) => o.time - this.preempt <= t && t <= o.end + 250);
+    for (const o of visible.reverse()) {
+      const r = this.radius * sx;
+      const alpha = Math.min(1, (t - (o.time - this.preempt)) / 400);
+      ctx.globalAlpha = Math.max(0.15, alpha);
+      if (o.kind === "slider" && o.path.length > 1) {
+        ctx.beginPath();
+        ctx.lineWidth = 2 * r;
+        ctx.lineCap = ctx.lineJoin = "round";
+        ctx.strokeStyle = "#2a3342";
+        ctx.moveTo(o.path[0][0] * sx, o.path[0][1] * sy);
+        for (const [px, py] of o.path.slice(1))
+          ctx.lineTo(px * sx, py * sy);
+        ctx.stroke();
+        ctx.lineWidth = 2;
+      }
+      if (o.kind === "spinner") {
+        ctx.beginPath();
+        ctx.strokeStyle = "#8a93a5";
+        ctx.lineWidth = 3;
+        ctx.arc(o.x * sx, o.y * sy, 140 * sx, 0, 2 * Math.PI);
+        ctx.stroke();
+        continue;
+      }
+      ctx.beginPath();
+      ctx.fillStyle = t >= o.time ? "#4a9eda" : "#3b6ea5";
+      ctx.arc(o.x * sx, o.y * sy, r, 0, 2 * Math.PI);
+      ctx.fill();
+      ctx.strokeStyle = "#e8ecf2";
+      ctx.lineWidth = 2.5;
+      ctx.stroke();
+      if (t < o.time) {
+        // approach circle closes in over the preempt window
+        const k = 1 + 3 * (o.time - t) / this.preempt;
+        ctx.beginPath();
+        ctx.strokeStyle = "#c9d3e0";
+        ctx.lineWidth = 1.5;
+        ctx.arc(o.x * sx, o.y * sy, r * k, 0, 2 * Math.PI);
+        ctx.stroke();
+      }
+    }
+    ctx.globalAlpha = 1;
+  },
+
+  show(t) {
+    const ms = Math.max(0, Math.min(this.length, t));
+    const mins = Math.floor(ms / 60000);
+    const secs = ((ms % 60000) / 1000).toFixed(2).padStart(5, "0");
+    $("preview-clock").textContent = `${mins}:${secs}`;
+    this.draw(ms);
+  },
+
+  tick() {
+    if (!this.playing) return;
+    const el = $("preview-time");
+    const next = Number(el.value) + 16;
+    if (next >= this.length) { this.stop(); return; }
+    el.value = next;
+    this.show(next);
+    requestAnimationFrame(() => this.tick());
+  },
+
+  stop() {
+    this.playing = false;
+    $("preview-play").textContent = "▶";
+  },
+
+  async open() {
+    const box = $("preview-box");
+    if (!box.hidden) { box.hidden = true; this.stop(); return; }
+    const r = await fetch("/result_beatmap");
+    if (!r.ok) {
+      flash("No generated beatmap available to preview", "error");
+      return;
+    }
+    this.parse(await r.text());
+    $("preview-meta").textContent =
+      `${this.objects.length} objects · CS radius ${this.radius.toFixed(0)}px`;
+    const el = $("preview-time");
+    el.max = this.length;
+    el.value = this.objects.length ? Math.max(0, this.objects[0].time - 500) : 0;
+    box.hidden = false;
+    this.show(Number(el.value));
+  },
+};
+
+$("preview-btn").onclick = () => Preview.open();
+$("preview-time").oninput = (e) => { Preview.stop(); Preview.show(Number(e.target.value)); };
+$("preview-play").onclick = () => {
+  if (Preview.playing) { Preview.stop(); return; }
+  Preview.playing = true;
+  $("preview-play").textContent = "⏸";
+  Preview.tick();
+};
+
+// =============================================================================
 // Boot
 // =============================================================================
 

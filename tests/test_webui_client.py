@@ -83,3 +83,21 @@ def test_form_fields_cover_server_override_surface():
     names = set(re.findall(r'name="([^"]+)"', html))
     for field in SCALAR_FIELDS + BOOL_FIELDS:
         assert field in names, f"form is missing an input for {field}"
+
+
+def test_preview_feature_wired():
+    """The preview canvas (beyond the reference client) is fully wired:
+    button + canvas + scrubber in the DOM, and the JS fetches the
+    confined /result_beatmap route."""
+    import pathlib
+    static = pathlib.Path("beatheritage_tpu/apps/webui_static")
+    html = (static / "index.html").read_text()
+    js = (static / "app.js").read_text()
+    for el in ("preview-btn", "preview-canvas", "preview-time",
+               "preview-play", "preview-box"):
+        assert f'id="{el}"' in html, el
+    assert "/result_beatmap" in js
+    # parser handles the three object families and slider duration inputs
+    for marker in ("HitObjects", "TimingPoints", "SliderMultiplier",
+                   "type & 2", "type & 8"):
+        assert marker in js, marker

@@ -171,3 +171,41 @@ def test_capabilities_reflect_train_config(server):
     assert isinstance(caps["in_context_options"], list)
     # unknown config -> empty capabilities rather than a 500
     assert get(base, "/capabilities?config=definitely_missing") == {}
+
+
+def test_result_beatmap_serves_only_run_reported_path(server, tmp_path):
+    """/result_beatmap serves the .osu the run itself reported (for the
+    preview canvas) and 404s otherwise; client-supplied paths are never
+    consulted."""
+    base, _ = server
+    webui.STATE.result_path = None
+    assert status_of(base, "/result_beatmap") == 404
+    # query params must be ignored
+    assert status_of(base, "/result_beatmap?path=/etc/passwd") == 404
+
+    osu = tmp_path / "gen.osu"
+    osu.write_text("osu file format v14\n[HitObjects]\n256,192,1000,1,0\n")
+    webui.STATE.result_path = osu
+    try:
+        body = get(base, "/result_beatmap", expect_json=False)
+        assert "[HitObjects]" in body
+    finally:
+        webui.STATE.result_path = None
+
+
+def test_pump_captures_result_path(tmp_path, monkeypatch):
+    """The output pump records the 'saved to *.osu' line so the preview
+    route can serve it after the run completes."""
+    import time as _time
+
+    monkeypatch.setattr(webui, "LOG_DIR", tmp_path / "logs")
+    state = webui.InferenceProcess()
+    code = ("print('step 1')\n"
+            "print('Generated beatmap saved to /tmp/some_result.osu')")
+    state.start("timeit", ["-n", "1", "-r", "1", "-s", code, "pass"])
+    for _ in range(100):
+        if state.proc.poll() is not None and state.result_path is not None:
+            break
+        _time.sleep(0.1)
+    assert state.result_path is not None
+    assert str(state.result_path) == "/tmp/some_result.osu"
