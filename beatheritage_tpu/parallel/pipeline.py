@@ -173,6 +173,10 @@ def pipelined(mesh: Mesh, block_fn: Callable, *, num_microbatches: int,
                 f"batch {batch} not divisible by {num_microbatches} "
                 "microbatches")
         mb = batch // num_microbatches
+        if batch_axis and mb % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"microbatch size {mb} not divisible by mesh axis "
+                f"'{batch_axis}' ({mesh.shape[batch_axis]} devices)")
 
         def to_mb(a):
             return a.reshape((num_microbatches, mb) + a.shape[1:])
