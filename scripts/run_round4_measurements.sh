@@ -67,6 +67,12 @@ for phase in $PHASES; do
         --out EVAL_POS_r04.json && cat EVAL_POS_r04.json
       ;;
     fid)
+      # instrument calibration first: real-vs-real floor with the SAME
+      # features — any generated-vs-real FID is read against this
+      timeout 3600 python scripts/fid_floor.py \
+        --ckpt /tmp/synth_classifier_v4_ckpt_best \
+        --dataset /tmp/synth_mmrs_v4 \
+        --out FID_FLOOR_r04.json && cat FID_FLOOR_r04.json
       timeout 5400 python -m beatheritage_tpu.apps.calc_fid -cn synth_flagship \
         classifier_ckpt=/tmp/synth_classifier_v4_ckpt_best \
         dataset_path=/tmp/synth_mmrs_v4 dataset_start=560 dataset_end=600 \
