@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--b-start", type=int, default=580)
     ap.add_argument("--b-end", type=int, default=600)
     ap.add_argument("--max-maps", type=int, default=200)
+    ap.add_argument("--tokenizer-dataset", default=None,
+                    help="dataset whose tables the checkpoint was trained "
+                         "with (defaults to --dataset); lets real maps come "
+                         "from a different corpus than the tokenizer")
+    ap.add_argument("--gen-dir", action="append", default=[],
+                    help="directory of generated .osu files; reports "
+                         "FID(generated, slice A) with the same features")
     ap.add_argument("--out", default="/tmp/fid_floor.json")
     args = ap.parse_args()
 
@@ -58,11 +65,12 @@ def main() -> int:
     from beatheritage_tpu.tokenizer import Tokenizer
     from beatheritage_tpu.train.checkpoints import restore_params
 
+    tok_ds = args.tokenizer_dataset or args.dataset
     cfg = load_config(TrainConfig, "train", args.config, overrides=[
-        f"data.train_dataset_path={args.dataset}"])
+        f"data.train_dataset_path={tok_ds}"])
     tokenizer = Tokenizer(cfg)
+    tokenizer.load_dataset_indices(load_mmrs_metadata(tok_ds))
     md = load_mmrs_metadata(args.dataset)
-    tokenizer.load_dataset_indices(md)
     parser_obj = BeatmapParser(cfg, tokenizer)
     dims = ClassifierDims(
         d_model=cfg.model.arch.d_model, num_heads=cfg.model.arch.num_heads,
@@ -95,6 +103,18 @@ def main() -> int:
             feats.append(np.asarray(out["features"]))
         return np.concatenate(feats, 0) if feats else np.zeros((0, 1))
 
+    def features_for_dir(d: Path) -> np.ndarray:
+        feats = []
+        for p in sorted(d.glob("*.osu"))[: args.max_maps]:
+            windows = beatmap_windows_tokens(Beatmap.from_path(p),
+                                             parser_obj, tokenizer)
+            if not windows:
+                continue
+            audio = np.zeros((len(windows), window_samples), np.float32)
+            out = classifier_forward(params, dims, audio, np.stack(windows))
+            feats.append(np.asarray(out["features"]))
+        return np.concatenate(feats, 0) if feats else np.zeros((0, 1))
+
     fa = features_for(args.a_start, args.a_end)
     fb = features_for(args.b_start, args.b_end)
     if len(fa) < 4 or len(fb) < 4:
@@ -115,6 +135,13 @@ def main() -> int:
             "sets_b": [args.b_start, args.b_end],
         },
     }
+    for d in args.gen_dir:
+        fg = features_for_dir(Path(d))
+        payload.setdefault("generated", {})[d] = {
+            "fid_vs_a": round(fid_between(fg, fa), 3) if len(fg) >= 4
+            else None,
+            "windows": int(len(fg)),
+        }
     Path(args.out).write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
     return 0
