@@ -105,7 +105,9 @@ def _make_feature_fn(args, tokenizer):
     from ..data.parser import BeatmapParser
     from ..eval.harness import beatmap_windows_tokens
     from ..models.classifier import (ClassifierDims, classifier_forward,
-                                     init_classifier_params)
+                                     init_classifier_params,
+                                     is_token_classifier,
+                                     token_classifier_forward)
     from ..train.checkpoints import restore_params
 
     cfg = _classifier_train_cfg(args)
@@ -123,11 +125,18 @@ def _make_feature_fn(args, tokenizer):
     parser_obj = BeatmapParser(cfg, tokenizer)
     sr = cfg.model.spectrogram.sample_rate
     window_samples = int(8.192 * sr)
+    max_tokens = int(cfg.model.add_config.get("classifier_max_tokens", 512))
 
     def feature_fn(beatmap):
-        windows = beatmap_windows_tokens(beatmap, parser_obj, tokenizer)
+        windows = beatmap_windows_tokens(beatmap, parser_obj, tokenizer,
+                                         max_tokens=max_tokens)
         if not windows:
             return None
+        if is_token_classifier(params):
+            # token-only instrument: no audio branch, no input mismatch
+            out = token_classifier_forward(params, dims, np.stack(windows),
+                                           pad_id=tokenizer.pad_id)
+            return np.asarray(out["features"])
         # classifier features are conditioned on audio too; beatmap-only
         # scoring uses silent audio per window (same for real + generated,
         # so the comparison stays meaningful without the audio files)

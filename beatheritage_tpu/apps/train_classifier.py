@@ -27,7 +27,9 @@ def main(argv=None) -> int:
     from ..data.dataset import batch_iterator, load_mmrs_metadata
     from ..data.parser import BeatmapParser
     from ..models.classifier import (ClassifierDims, classifier_loss,
-                                     init_classifier_params)
+                                     init_classifier_params,
+                                     init_token_classifier_params,
+                                     token_classifier_loss)
     from ..parallel.mesh import batch_sharding, build_mesh, replicated
     from ..tokenizer import Tokenizer
     from ..train.optim import build_schedule
@@ -46,7 +48,14 @@ def main(argv=None) -> int:
         decoder_layers=cfg.model.arch.decoder_layers,
         n_mels=cfg.model.spectrogram.n_mels, vocab_size=tokenizer.vocab_size_in,
         num_classes=max(tokenizer.num_mapper_classes + 1, 2))
-    params = init_classifier_params(jax.random.PRNGKey(cfg.seed), dims)
+    # token-only FID instrument (models/classifier.py: the features are
+    # computed with silent audio at FID time, so the audio branch only adds
+    # train/eval mismatch + cost)
+    tokens_only = bool(cfg.model.add_config.get("classifier_tokens_only",
+                                                False))
+    max_tokens = int(cfg.model.add_config.get("classifier_max_tokens", 512))
+    init_fn = init_token_classifier_params if tokens_only else init_classifier_params
+    params = init_fn(jax.random.PRNGKey(cfg.seed), dims)
 
     lr = build_schedule(cfg.optim)
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.optim.gradient_clip),
@@ -56,8 +65,13 @@ def main(argv=None) -> int:
 
     def step_fn(params, opt_state, batch):
         def loss_fn(p):
-            loss, aux = classifier_loss(p, dims, batch["audio"],
-                                        batch["tokens"], batch["label"])
+            if tokens_only:
+                loss, aux = token_classifier_loss(
+                    p, dims, batch["tokens"], batch["label"],
+                    pad_id=tokenizer.pad_id)
+            else:
+                loss, aux = classifier_loss(p, dims, batch["audio"],
+                                            batch["tokens"], batch["label"])
             return loss, aux
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -91,7 +105,9 @@ def main(argv=None) -> int:
         epoch = 0
         while True:
             ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
-                                   metadata=md_train, seed=cfg.seed + epoch)
+                                   metadata=md_train, seed=cfg.seed + epoch,
+                                   use_audio=not tokens_only,
+                                   max_tokens=max_tokens)
             produced = False
             for batch in batch_iterator(ds, cfg.optim.batch_size):
                 produced = True
@@ -102,23 +118,32 @@ def main(argv=None) -> int:
                     "train_dataset_path / batch_size vs corpus size")
             epoch += 1
 
-    from ..models.classifier import classifier_forward  # noqa: PLC0415
+    from ..models.classifier import (classifier_forward,  # noqa: PLC0415
+                                     token_classifier_forward)
 
     @jax.jit
     def logits_fn(params, audio, tokens):
         return classifier_forward(params, dims, audio, tokens)["logits"]
+
+    @jax.jit
+    def token_logits_fn(params, tokens):
+        return token_classifier_forward(params, dims, tokens,
+                                        pad_id=tokenizer.pad_id)["logits"]
 
     def validate(params) -> float:
         """Held-out window top-1 (the FID instrument's quality gate)."""
         if md_val is None:
             return float("nan")
         ds = ClassifierDataset(cfg.data, parser_obj, tokenizer,
-                               metadata=md_val, test=True)
+                               metadata=md_val, test=True,
+                               use_audio=not tokens_only,
+                               max_tokens=max_tokens)
         correct = total = 0
         for batch in batch_iterator(ds, cfg.optim.batch_size,
                                     drop_last=False):
-            pred = np.argmax(np.asarray(
-                logits_fn(params, batch["audio"], batch["tokens"])), axis=-1)
+            logits = (token_logits_fn(params, batch["tokens"]) if tokens_only
+                      else logits_fn(params, batch["audio"], batch["tokens"]))
+            pred = np.argmax(np.asarray(logits), axis=-1)
             correct += int((pred == np.asarray(batch["label"])).sum())
             total += len(pred)
         return correct / max(total, 1)

@@ -28,7 +28,8 @@ class ClassifierDataset:
     """Yields {audio (n_samples,), tokens (max_tokens,), label ()} windows."""
 
     def __init__(self, args, parser, tokenizer, metadata=None, path=None,
-                 test=False, max_tokens: int = 512, seed: int = 0):
+                 test=False, max_tokens: int = 512, seed: int = 0,
+                 use_audio: bool = True):
         from .dataset import load_mmrs_metadata  # noqa: PLC0415
         self.args = args
         self.parser = parser
@@ -41,16 +42,21 @@ class ClassifierDataset:
         self.rng = random.Random(seed)
         self.sample_rate = args.sample_rate
         self.window_samples = int(WINDOW_MS / 1000 * self.sample_rate)
+        # token-only mode (FID instrument): skip audio IO entirely and span
+        # windows over the event range instead of the audio length
+        self.use_audio = use_audio
 
     def __iter__(self) -> Iterator[dict]:
         for beatmapset_id in self.metadata.index.get_level_values(0).unique():
             metadata = self.metadata.loc[beatmapset_id]
             track = self.path / "data" / metadata.iloc[0]["BeatmapSetFolder"]
-            try:
-                audio = load_audio(track / metadata.iloc[0]["AudioFile"],
-                                   self.sample_rate)
-            except Exception:
-                continue
+            audio = None
+            if self.use_audio:
+                try:
+                    audio = load_audio(track / metadata.iloc[0]["AudioFile"],
+                                       self.sample_rate)
+                except Exception:
+                    continue
             # after .loc[beatmapset_id] the remaining index level IS the
             # beatmap Id (MMRS metadata indexes by (BeatmapSetId, Id))
             for beatmap_id, row in metadata.iterrows():
@@ -66,9 +72,15 @@ class ClassifierDataset:
                 # instead of the style (held-out top-1 was chance in r3);
                 # eval (test=True) keeps the deterministic grid
                 t0 = 0.0 if self.test else self.rng.uniform(0.0, WINDOW_MS)
-                while (t0 + WINDOW_MS) / 1000 * self.sample_rate <= len(audio):
-                    s0 = int(t0 / 1000 * self.sample_rate)
-                    window_audio = audio[s0:s0 + self.window_samples]
+                # token-only windows include the partial tail, matching
+                # eval.harness.beatmap_windows_tokens (the FID feature path)
+                end_ms = ((len(audio) / self.sample_rate * 1000 - WINDOW_MS)
+                          if audio is not None
+                          else (max(event_times) if event_times else -1.0))
+                while t0 <= end_ms:
+                    if audio is not None:
+                        s0 = int(t0 / 1000 * self.sample_rate)
+                        window_audio = audio[s0:s0 + self.window_samples]
                     toks = []
                     for ev, t in zip(events, event_times):
                         if not t0 <= t < t0 + WINDOW_MS:
@@ -86,11 +98,13 @@ class ClassifierDataset:
                     if toks:
                         arr = np.full(self.max_tokens, self.tokenizer.pad_id, np.int32)
                         arr[:min(len(toks), self.max_tokens)] = toks[:self.max_tokens]
-                        yield {"audio": window_audio.astype(np.float32),
-                               "tokens": arr, "label": np.int32(label),
-                               "beatmap_id": np.int64(
-                                   row["Id"] if "Id" in row.index
-                                   else beatmap_id)}
+                        item = {"tokens": arr, "label": np.int32(label),
+                                "beatmap_id": np.int64(
+                                    row["Id"] if "Id" in row.index
+                                    else beatmap_id)}
+                        if audio is not None:
+                            item["audio"] = window_audio.astype(np.float32)
+                        yield item
                     t0 += WINDOW_MS
 
 

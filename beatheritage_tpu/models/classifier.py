@@ -149,3 +149,78 @@ def classifier_loss(params, dims: ClassifierDims, audio, decoder_input_ids,
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     acc = (jnp.argmax(out["logits"], -1) == labels).mean()
     return nll.mean(), {"accuracy": acc, "features": out["features"]}
+
+
+# --- Token-only variant (the FID instrument actually in use) ----------------
+#
+# FID features for generated maps are computed with silent audio
+# (scripts/fid_floor.py, apps/calc_fid.py feed zeros), so an audio+token
+# classifier is scored off its training distribution. This variant drops the
+# audio branch entirely: a bidirectional RoPE encoder over the map-token
+# window with a PAD-masked mean-pool. Style (spacing, angles, rhythm) lives
+# in the tokens, the train/eval input distributions match exactly, and the
+# model is ~20x cheaper — trainable on a 1-core host.
+# (reference: classifier/libs/model/model.py:62 is audio+tokens; the token-
+# only design is a deliberate deviation documented in docs/ROUND_NOTES.md.)
+
+
+def is_token_classifier(params: dict) -> bool:
+    """Distinguish token-only checkpoints from audio+token ones."""
+    return "embed" in params and "encoder" not in params
+
+
+def init_token_classifier_params(key, dims: ClassifierDims,
+                                 std: float = 0.02) -> dict:
+    md = dims.to_model_dims()
+    keys = jax.random.split(key, 4)
+    layer_keys = jax.random.split(keys[0], dims.encoder_layers)
+    return {
+        "embed": jax.random.normal(keys[1], (dims.vocab_size, dims.d_model)) * std,
+        "layers": jax.vmap(lambda k: _init_encoder_layer(k, md, std))(layer_keys),
+        "lnf": _ln(dims.d_model),
+        "projector": _dense(keys[2], dims.d_model, dims.proj_size, std),
+        "classifier": _dense(keys[3], dims.proj_size, dims.num_classes, std),
+    }
+
+
+def token_classifier_forward(params, dims: ClassifierDims,
+                             token_ids: jnp.ndarray, *, pad_id: int,
+                             dtype=jnp.bfloat16) -> dict:
+    """(map tokens (B, T)) -> {logits (B, classes), features (B, proj)}.
+
+    features is the PAD-masked mean of the projected final hidden states;
+    padding keys are masked out of attention so feature vectors do not
+    depend on window token count."""
+    md = dims.to_model_dims()
+    x = params["embed"].astype(dtype)[token_ids]
+    t = token_ids.shape[1]
+    valid = token_ids != pad_id                    # (B, T)
+    mask = valid[:, None, None, :]                 # key mask (B, 1, 1, T)
+    cos, sin = rope_cos_sin(jnp.arange(t), md.head_dim, theta=md.rope_theta,
+                            rope_type="static", dtype=dtype)
+
+    def layer_fn(h, layer):
+        h = h + _self_attention(layer, rms_norm(h, layer["ln1"]["g"]),
+                                cos, sin, md.num_heads, is_causal=False,
+                                mask=mask, use_flash=False)
+        h = h + _ffn(layer, rms_norm(h, layer["ln2"]["g"]))
+        return h, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    x = rms_norm(x, params["lnf"]["g"])
+    projected = _linear(x, params["projector"])    # (B, T, proj)
+    w = valid.astype(projected.dtype)[..., None]
+    features = (projected * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    logits = _linear(features, params["classifier"])
+    return {"logits": logits.astype(jnp.float32),
+            "features": features.astype(jnp.float32)}
+
+
+def token_classifier_loss(params, dims: ClassifierDims, token_ids, labels, *,
+                          pad_id: int, dtype=jnp.float32):
+    out = token_classifier_forward(params, dims, token_ids,
+                                   pad_id=pad_id, dtype=dtype)
+    logp = jax.nn.log_softmax(out["logits"], axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    acc = (jnp.argmax(out["logits"], -1) == labels).mean()
+    return nll.mean(), {"accuracy": acc, "features": out["features"]}

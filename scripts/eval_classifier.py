@@ -50,7 +50,9 @@ def main() -> int:
                                                load_mmrs_metadata)
     from beatheritage_tpu.data.parser import BeatmapParser
     from beatheritage_tpu.models.classifier import (ClassifierDims,
-                                                    classifier_forward)
+                                                    classifier_forward,
+                                                    is_token_classifier,
+                                                    token_classifier_forward)
     from beatheritage_tpu.tokenizer import Tokenizer
     from beatheritage_tpu.train.checkpoints import restore_params
 
@@ -67,20 +69,29 @@ def main() -> int:
         n_mels=cfg.model.spectrogram.n_mels, vocab_size=tokenizer.vocab_size_in,
         num_classes=max(tokenizer.num_mapper_classes + 1, 2))
     params = restore_params(args.ckpt)
+    tokens_only = is_token_classifier(params)
 
     held = filter_mmrs_metadata(load_mmrs_metadata(args.dataset),
                                 start=args.start, end=args.end, gamemodes=[0])
     ds = ClassifierDataset(cfg.data, parser_obj, tokenizer, metadata=held,
-                           path=args.dataset, test=True)
+                           path=args.dataset, test=True,
+                           use_audio=not tokens_only,
+                           max_tokens=int(cfg.model.add_config.get(
+                               "classifier_max_tokens", 512)))
 
-    fwd = jax.jit(lambda p, a, t: jnp.argmax(
-        classifier_forward(p, dims, a, t)["logits"], -1))
+    if tokens_only:
+        fwd = jax.jit(lambda p, t: jnp.argmax(token_classifier_forward(
+            p, dims, t, pad_id=tokenizer.pad_id)["logits"], -1))
+    else:
+        fwd = jax.jit(lambda p, a, t: jnp.argmax(
+            classifier_forward(p, dims, a, t)["logits"], -1))
 
     window_hits, window_total = 0, 0
     map_label: dict[int, int] = {}
     per_map_preds: dict[int, list[int]] = {}
     for batch in batch_iterator(ds, args.batch):
-        preds = np.asarray(fwd(params, batch["audio"], batch["tokens"]))
+        preds = np.asarray(fwd(params, batch["tokens"]) if tokens_only
+                           else fwd(params, batch["audio"], batch["tokens"]))
         labels = np.asarray(batch["label"])
         window_hits += int((preds == labels).sum())
         window_total += len(labels)
@@ -103,6 +114,7 @@ def main() -> int:
                 f"(chance {1.0 / n_classes:.3f})",
         "detail": {
             "checkpoint": args.ckpt,
+            "tokens_only": tokens_only,
             "windows": window_total,
             "map_majority_top1": round(map_hits / max(len(per_map_preds), 1), 4),
             "maps": len(per_map_preds),

@@ -60,7 +60,9 @@ def main() -> int:
     from beatheritage_tpu.eval.fid import fid_between
     from beatheritage_tpu.eval.harness import beatmap_windows_tokens
     from beatheritage_tpu.models.classifier import (ClassifierDims,
-                                                    classifier_forward)
+                                                    classifier_forward,
+                                                    is_token_classifier,
+                                                    token_classifier_forward)
     from beatheritage_tpu.osu.beatmap import Beatmap
     from beatheritage_tpu.tokenizer import Tokenizer
     from beatheritage_tpu.train.checkpoints import restore_params
@@ -82,6 +84,16 @@ def main() -> int:
     params = restore_params(args.ckpt)
     sr = cfg.model.spectrogram.sample_rate
     window_samples = int(8.192 * sr)
+    max_tokens = int(cfg.model.add_config.get("classifier_max_tokens", 512))
+
+    def window_features(windows: list) -> np.ndarray:
+        if is_token_classifier(params):
+            out = token_classifier_forward(params, dims, np.stack(windows),
+                                           pad_id=tokenizer.pad_id)
+        else:
+            audio = np.zeros((len(windows), window_samples), np.float32)
+            out = classifier_forward(params, dims, audio, np.stack(windows))
+        return np.asarray(out["features"])
 
     def features_for(start: int, end: int) -> np.ndarray:
         rows = filter_mmrs_metadata(md, start=start, end=end,
@@ -95,24 +107,22 @@ def main() -> int:
             if not p.is_file():
                 continue
             windows = beatmap_windows_tokens(Beatmap.from_path(p),
-                                             parser_obj, tokenizer)
+                                             parser_obj, tokenizer,
+                                             max_tokens=max_tokens)
             if not windows:
                 continue
-            audio = np.zeros((len(windows), window_samples), np.float32)
-            out = classifier_forward(params, dims, audio, np.stack(windows))
-            feats.append(np.asarray(out["features"]))
+            feats.append(window_features(windows))
         return np.concatenate(feats, 0) if feats else np.zeros((0, 1))
 
     def features_for_dir(d: Path) -> np.ndarray:
         feats = []
         for p in sorted(d.glob("*.osu"))[: args.max_maps]:
             windows = beatmap_windows_tokens(Beatmap.from_path(p),
-                                             parser_obj, tokenizer)
+                                             parser_obj, tokenizer,
+                                             max_tokens=max_tokens)
             if not windows:
                 continue
-            audio = np.zeros((len(windows), window_samples), np.float32)
-            out = classifier_forward(params, dims, audio, np.stack(windows))
-            feats.append(np.asarray(out["features"]))
+            feats.append(window_features(windows))
         return np.concatenate(feats, 0) if feats else np.zeros((0, 1))
 
     fa = features_for(args.a_start, args.a_end)

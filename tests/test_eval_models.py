@@ -51,6 +51,43 @@ def test_classifier_forward_and_loss():
     assert gnorm > 0
 
 
+def test_token_classifier_forward_loss_and_pad_invariance():
+    from beatheritage_tpu.models.classifier import (
+        init_token_classifier_params, is_token_classifier,
+        token_classifier_forward, token_classifier_loss)
+    dims = ClassifierDims(d_model=64, num_heads=4, d_ff=128, encoder_layers=2,
+                          decoder_layers=0, vocab_size=100,
+                          num_classes=10, proj_size=16)
+    params = init_token_classifier_params(jax.random.PRNGKey(0), dims)
+    assert is_token_classifier(params)
+    assert not is_token_classifier(
+        init_classifier_params(jax.random.PRNGKey(0), ClassifierDims(
+            d_model=64, num_heads=4, d_ff=128, encoder_layers=2,
+            decoder_layers=2, vocab_size=100, num_classes=10, proj_size=16)))
+
+    pad = 0
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 24), 1, 100)
+    out = token_classifier_forward(params, dims, ids, pad_id=pad,
+                                   dtype=jnp.float32)
+    assert out["logits"].shape == (2, 10)
+    assert out["features"].shape == (2, 16)
+
+    # padding must not change features: masked attention + masked mean-pool
+    padded = jnp.concatenate([ids, jnp.full((2, 40), pad, ids.dtype)], axis=1)
+    out_p = token_classifier_forward(params, dims, padded, pad_id=pad,
+                                     dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_p["features"]),
+                               np.asarray(out["features"]), atol=1e-5)
+
+    labels = jnp.array([3, 7])
+    loss, aux = token_classifier_loss(params, dims, ids, labels, pad_id=pad)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: token_classifier_loss(
+        p, dims, ids, labels, pad_id=pad)[0])(params)
+    gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
 def test_rcomplexion_forward_and_complexity():
     dims = RComplexionDims(vocab_size_in=200, vocab_size_out=150,
                            src_seq_len=16, hidden_size=32)
