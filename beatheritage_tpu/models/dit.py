@@ -28,6 +28,10 @@ DIT_SIZES = {
     "DiT-L": (1024, 24, 16),
     "DiT-B": (768, 12, 12),
     "DiT-S": (384, 12, 6),
+    # below-reference sizes: XS proves conditioning end-to-end on a
+    # 1-core host within hours (not a reference size; reference
+    # models.py:384-405 stops at S)
+    "DiT-XS": (192, 6, 4),
     "DiT-test": (64, 2, 4),
 }
 

@@ -47,15 +47,17 @@ for phase in $PHASES; do
         max_seconds=6600
       ;;
     classifier)
+      # token-only instrument (models/classifier.py): the FID features are
+      # computed with silent audio, so this is the config in actual use;
+      # device=tpu overrides the config's 1-core-host pin
       kill "$(cat /tmp/clf_v4_cpu.pid 2>/dev/null)" 2>/dev/null || true
-      timeout 7200 python -m beatheritage_tpu.apps.train_classifier -cn synth \
-        data.train_dataset_path=/tmp/synth_mmrs_v4 \
-        data.test_dataset_path=/tmp/synth_mmrs_v4 \
-        data.train_dataset_start=0 data.train_dataset_end=560 \
-        data.test_dataset_end=600 optim.total_steps=6000 \
-        checkpoint_path=/tmp/synth_classifier_v4_ckpt
+      kill "$(cat /tmp/clf_tokens.pid 2>/dev/null)" 2>/dev/null || true
+      timeout 7200 python -m beatheritage_tpu.apps.train_classifier \
+        -cn synth_classifier_tokens device=tpu optim.total_steps=20000 \
+        checkpoint_path=/tmp/synth_classifier_tokens_tpu
       timeout 1800 python scripts/eval_classifier.py \
-        --ckpt /tmp/synth_classifier_v4_ckpt_best \
+        --config synth_classifier_tokens \
+        --ckpt /tmp/synth_classifier_tokens_tpu_best \
         --dataset /tmp/synth_mmrs_v4 --start 560 --end 600 \
         --out EVAL_CLASSIFIER_r04.json && cat EVAL_CLASSIFIER_r04.json
       ;;
@@ -69,12 +71,15 @@ for phase in $PHASES; do
     fid)
       # instrument calibration first: real-vs-real floor with the SAME
       # features — any generated-vs-real FID is read against this
+      CLF_CKPT=/tmp/synth_classifier_tokens_tpu_best
+      [ -d "$CLF_CKPT" ] || CLF_CKPT=/tmp/synth_classifier_tokens_best
       timeout 3600 python scripts/fid_floor.py \
-        --ckpt /tmp/synth_classifier_v4_ckpt_best \
+        --config synth_classifier_tokens --ckpt "$CLF_CKPT" \
         --dataset /tmp/synth_mmrs_v4 \
         --out FID_FLOOR_r04.json && cat FID_FLOOR_r04.json
       timeout 5400 python -m beatheritage_tpu.apps.calc_fid -cn synth_flagship \
-        classifier_ckpt=/tmp/synth_classifier_v4_ckpt_best \
+        classifier_ckpt="$CLF_CKPT" \
+        classifier_config=synth_classifier_tokens \
         dataset_path=/tmp/synth_mmrs_v4 dataset_start=560 dataset_end=600 \
         2>&1 | tail -20
       ;;
