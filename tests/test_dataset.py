@@ -178,3 +178,37 @@ def test_dataset_feeds_train_step(cfg, pieces):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["accuracy"]) >= 0
+
+
+def test_classifier_dataset_token_only_mode(cfg, pieces):
+    """use_audio=False: no audio IO, windows span the event range, and the
+    windows feed the token-only classifier loss (the FID instrument)."""
+    import jax
+
+    from beatheritage_tpu.data.classifier_dataset import ClassifierDataset
+    from beatheritage_tpu.models.classifier import (
+        ClassifierDims, init_token_classifier_params, token_classifier_loss)
+
+    tok, parser = pieces
+    # the fixture audio is 4 s < the 8.192 s window, so audio mode yields
+    # nothing — token mode must still produce one window per difficulty
+    ds_audio = ClassifierDataset(cfg.data, parser, tok, test=True)
+    assert len(list(ds_audio)) == 0
+    ds = ClassifierDataset(cfg.data, parser, tok, test=True, use_audio=False,
+                           max_tokens=64)
+    items = list(ds)
+    assert len(items) == 4
+    for item in items:
+        assert "audio" not in item
+        assert item["tokens"].shape == (64,)
+        assert (item["tokens"] >= 0).all()
+        assert item["label"] >= 0
+
+    batch = next(batch_iterator(ds, batch_size=4))
+    dims = ClassifierDims(d_model=32, num_heads=2, d_ff=64, encoder_layers=1,
+                          decoder_layers=0, vocab_size=tok.vocab_size_in,
+                          num_classes=4, proj_size=8)
+    params = init_token_classifier_params(jax.random.PRNGKey(0), dims)
+    loss, aux = token_classifier_loss(params, dims, batch["tokens"],
+                                      batch["label"], pad_id=tok.pad_id)
+    assert np.isfinite(float(loss))
