@@ -116,7 +116,7 @@ def main() -> int:
 
     def features_for_dir(d: Path) -> np.ndarray:
         feats = []
-        for p in sorted(d.glob("*.osu"))[: args.max_maps]:
+        for p in sorted(d.rglob("*.osu"))[: args.max_maps]:
             windows = beatmap_windows_tokens(Beatmap.from_path(p),
                                              parser_obj, tokenizer,
                                              max_tokens=max_tokens)
