@@ -469,6 +469,12 @@ class InferenceConfig:
     # respaced steps vs 9.5 px at 4/20, with ground-truth-level spacing and
     # preserved stacks). 0 = full chain (the reference's behavior).
     refine_entry: int = 0
+    # distance-consistency guidance weight (diffusion/guidance.py): px of
+    # correction per px of spacing error per sampling step, pulling jump
+    # distances toward the conditioning targets the DiT already receives in
+    # context. 0 = off (reference-exact). Counters the refiner's measured
+    # spacing compression (EVAL_POS_r03: median jump 75 px vs corpus 98.8).
+    distance_consistency: float = 0.0
 
     # BeatHeritage V1 enhancement layer (inference/enhance.py)
     advanced_features: AdvancedFeaturesConfig = field(

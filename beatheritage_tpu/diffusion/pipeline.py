@@ -94,6 +94,9 @@ class DiffusionPipeline:
         self.timesteps = args.timesteps
         self.cfg_scale = args.diff_cfg_scale
         self.refine_entry = getattr(args, "refine_entry", 0)
+        # px moved per px of spacing error per step (diffusion/guidance.py);
+        # 0 = off = reference-exact sampling
+        self.distance_consistency = getattr(args, "distance_consistency", 0.0)
         self.refine_iters = args.refine_iters
         self.random_init = args.random_init
         self.types_first = args.train.data.types_first
@@ -188,8 +191,8 @@ class DiffusionPipeline:
 
         if not rows:
             return (np.zeros((0, 2), np.float32), np.zeros(0, np.float32),
-                    np.zeros((0, self.dims.context_size), np.float32), 0,
-                    {}, [])
+                    np.zeros((0, self.dims.context_size), np.float32),
+                    np.zeros(0, np.float32), 0, {}, [])
 
         seq = np.stack(rows)  # (T, 20)
         seq_x = seq[:, :2] / PLAYFIELD * 2 - 1
@@ -202,7 +205,7 @@ class DiffusionPipeline:
         sliders = self._collect_sliders(groups, group_indices, seq_indices,
                                         timing, slider_multiplier)
         return (seq_x.astype(np.float32), seq_o, seq_c.astype(np.float32),
-                len(rows), seq_indices, sliders)
+                seq_d.astype(np.float32), len(rows), seq_indices, sliders)
 
     def _collect_sliders(self, groups, group_indices, seq_indices, timing,
                          slider_multiplier) -> list[DiffusionSlider]:
@@ -258,12 +261,23 @@ class DiffusionPipeline:
     # -- sampling ------------------------------------------------------------------
 
     def generate(self, events: list[Event], generation_config, timing,
-                 verbose: bool = False) -> list[Event]:
-        seq_x, seq_o, seq_c, seq_len, seq_indices, sliders = self.events_to_sequence(
+                 verbose: bool = False, return_positions: bool = False):
+        """events -> events with refined positions. With
+        return_positions=True also returns the raw (T, 2) px position
+        array and the input sequence rows (for eval scripts)."""
+        (seq_x, seq_o, seq_c, seq_d, seq_len, seq_indices,
+         sliders) = self.events_to_sequence(
             events, timing, generation_config.slider_multiplier)
+        # distance-guidance targets: row i's distance from row i-1; row 0
+        # has no predecessor pair -> sentinel -1 (guidance.py skips it)
+        d_tgt = seq_d.copy()
+        if len(d_tgt):
+            d_tgt[0] = -1.0
         if verbose:
             print(f"diffusion seq len {seq_len}")
         if seq_len == 0:
+            if return_positions:
+                return events, np.zeros((0, 2), np.float32), seq_x
             return events
 
         schedule = DiffusionSchedule.create(
@@ -295,13 +309,17 @@ class DiffusionPipeline:
                 schedule, full_samples[:, i:end], c_full[:, i:end],
                 seq_o[i:end], y, full_band[i:end, i:end],
                 z_full[:, i:end], sliders, i, end,
-                start_mask_size=self.overlap_buffer if i > 0 else 0)
+                start_mask_size=self.overlap_buffer if i > 0 else 0,
+                d_tgt=d_tgt[i:end])
             full_samples[:, i:end] = part
             if end >= seq_len:
                 break
 
         positions = (full_samples[0] + 1) / 2 * PLAYFIELD  # (T, 2)
-        return self.events_with_pos(events, positions, seq_indices)
+        out_events = self.events_with_pos(events, positions, seq_indices)
+        if return_positions:
+            return out_events, positions, (seq_x + 1) / 2 * PLAYFIELD
+        return out_events
 
     def _unified_sampler(self, schedule):
         """The one jitted chunk-sampling program, reused for every chunk of
@@ -315,16 +333,24 @@ class DiffusionPipeline:
         if self._seg_sampler is None:
             dims, cfg_scale = self.dims, self.cfg_scale
             cache_key = (dims, cfg_scale, self.noise_schedule,
-                         self.diffusion_steps, tuple(self.timesteps))
+                         self.diffusion_steps, tuple(self.timesteps),
+                         self.distance_consistency)
             cached = _SEG_SAMPLER_CACHE.get(cache_key)
             if cached is not None:
                 self._seg_sampler = cached
                 return cached
 
+            from .guidance import distance_guide  # noqa: PLC0415
             from .slider_jax import project_slider_ends  # noqa: PLC0415
+            dc_weight = self.distance_consistency
 
-            def seg_fn(params, x, key, ts, c, y, band, mask, z_ref, tables):
+            def seg_fn(params, x, key, ts, c, y, band, mask, z_ref, tables,
+                       d_tgt):
                 def inpaint(xx):
+                    # spacing guidance first (no-op at weight 0), then the
+                    # in-paint freeze re-pins every non-generated row, then
+                    # the slider-end projection restores exact geometry
+                    xx = distance_guide(xx, d_tgt, dc_weight)
                     xx = jnp.where(mask, xx, z_ref)
                     # per-step slider-end projection ON DEVICE (the
                     # reference runs this as a host callback every step;
@@ -344,9 +370,16 @@ class DiffusionPipeline:
         return self._seg_sampler
 
     def _sample_part(self, schedule, z_part, c_part, o_part, y, band,
-                     z_ref, sliders, start, end, start_mask_size):
+                     z_ref, sliders, start, end, start_mask_size,
+                     d_tgt=None):
         """Sample one chunk. mask True = generate; in-painted elsewhere."""
         t_len = z_part.shape[1]
+        if d_tgt is None:
+            d_tgt = np.full(t_len, -1.0, np.float32)
+        else:
+            d_tgt = np.asarray(d_tgt, np.float32).copy()
+            # the chunk's first row pairs with a row outside the chunk
+            d_tgt[0] = -1.0
         mask = np.zeros_like(z_part, dtype=bool)
         mask[:, start_mask_size:] = True
         if self.start_time is not None:
@@ -395,8 +428,11 @@ class DiffusionPipeline:
         if chunk_sliders and callbacks_ok:
             mask_j = jnp.asarray(mask)
             z_ref_j = jnp.asarray(z_ref)
+            d_tgt_j = jnp.asarray(d_tgt)
+            from .guidance import distance_guide  # noqa: PLC0415
 
             def denoised_fn(x):
+                x = distance_guide(x, d_tgt_j, self.distance_consistency)
                 x = jnp.where(mask_j, x, z_ref_j)
                 return jax.pure_callback(
                     host_fix_slider_ends,
@@ -441,10 +477,15 @@ class DiffusionPipeline:
             from .slider_jax import build_slider_tables  # noqa: PLC0415
             tables = {k: jnp.asarray(v) for k, v in build_slider_tables(
                 chunk_sliders, start, t_len).items()}
+            # pad rows carry the skip sentinel so the pad/real boundary
+            # pair never pulls the last real object toward the pad origin
+            d_p = np.full(S, -1.0, np.float32)
+            d_p[:t_len] = d_tgt
             x = jnp.asarray(pad_t(x0))
             ts = jnp.arange(entry - 1, -1, -1)
             x = seg(self.params, x, self._next_key(), ts,
-                    c_p, y, band_p, mask_p, zref_p, tables)
+                    c_p, y, band_p, mask_p, zref_p, tables,
+                    jnp.asarray(d_p))
             samples = np.asarray(x)[:, :t_len]
             if chunk_sliders:
                 # final projection stays on host: exact osu! geometry
@@ -458,7 +499,11 @@ class DiffusionPipeline:
                 chunk_sliders, start, t_len).items()}
             from .slider_jax import project_slider_ends  # noqa: PLC0415
 
+            from .guidance import distance_guide  # noqa: PLC0415
+            d_tgt_j = jnp.asarray(d_tgt)
+
             def inpaint_r(x):
+                x = distance_guide(x, d_tgt_j, self.distance_consistency)
                 return project_slider_ends(
                     jnp.where(mask_j, x, z_ref_j), rtables)
 

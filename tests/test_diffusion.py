@@ -311,3 +311,32 @@ def test_unified_sampler_matches_callback_path(monkeypatch):
     for (ta, va), (tb, vb) in zip(outs[False], outs[True]):
         assert ta == tb
         assert abs(va - vb) <= 3, (outs[False], outs[True])
+
+
+def test_distance_guide_moves_spacing_toward_targets():
+    import jax.numpy as jnp
+
+    from beatheritage_tpu.diffusion.guidance import PLAYFIELD, distance_guide
+
+    # three objects 50 px apart on the x axis, targets 100 px
+    pos = np.array([[100.0, 192.0], [150.0, 192.0], [200.0, 192.0]])
+    x = jnp.asarray((pos / PLAYFIELD * 2 - 1)[None])
+    d = jnp.asarray(np.array([-1.0, 100.0, 100.0], np.float32))
+
+    # weight 0: exact identity
+    np.testing.assert_array_equal(np.asarray(distance_guide(x, d, 0.0)),
+                                  np.asarray(x))
+
+    out = (np.asarray(distance_guide(x, d, 0.2))[0] + 1) / 2 * PLAYFIELD
+    sp = np.hypot(*np.diff(out, axis=0).T)
+    assert (sp > 50.0 + 5.0).all(), sp  # spacing expanded toward 100
+
+    # sentinel -1 everywhere: no movement at all
+    d_off = jnp.asarray(np.array([-1.0, -1.0, -1.0], np.float32))
+    np.testing.assert_allclose(np.asarray(distance_guide(x, d_off, 0.2)),
+                               np.asarray(x), atol=1e-7)
+
+    # target 0 (stack): pulls the pair together
+    d_stack = jnp.asarray(np.array([-1.0, 0.0, -1.0], np.float32))
+    out2 = (np.asarray(distance_guide(x, d_stack, 0.2))[0] + 1) / 2 * PLAYFIELD
+    assert np.hypot(*(out2[1] - out2[0])) < 50.0
