@@ -45,6 +45,16 @@ for phase in $PHASES; do
       timeout 7200 python -m beatheritage_tpu.apps.train_diffusion \
         -cn synth_b_v4 checkpoint_path=/tmp/synth_dit_b_v4_ckpt \
         max_seconds=6600
+      # does the retrained DiT use the class vector? (<1 = yes)
+      timeout 1800 python scripts/eval_dit_conditioning.py \
+        --config synth_b_v4 --ckpt /tmp/synth_dit_b_v4_ckpt \
+        --dataset /tmp/synth_mmrs_v4 --start 560 --end 600 \
+        --out EVAL_DIT_COND_r04.json && cat EVAL_DIT_COND_r04.json
+      # spacing-guidance A/B through the real refiner on-device
+      timeout 3600 python scripts/refine_ab.py \
+        --diff-ckpt /tmp/synth_dit_b_v4_ckpt --dataset /tmp/synth_mmrs_v4 \
+        --start 560 --end 600 --maps 6 --weights 0 0.1 0.2 \
+        --out REFINE_AB_r04.json && cat REFINE_AB_r04.json
       ;;
     classifier)
       # token-only instrument (models/classifier.py): the FID features are
