@@ -340,3 +340,37 @@ def test_distance_guide_moves_spacing_toward_targets():
     d_stack = jnp.asarray(np.array([-1.0, 0.0, -1.0], np.float32))
     out2 = (np.asarray(distance_guide(x, d_stack, 0.2))[0] + 1) / 2 * PLAYFIELD
     assert np.hypot(*(out2[1] - out2[0])) < 50.0
+
+
+def test_pipeline_distance_guidance_path():
+    """distance_consistency > 0 runs through the unified sampler and pulls
+    refined spacing toward the event-stream distance targets."""
+    common = ["diff_cfg_scale=1.0", "max_seq_len=32", "overlap_buffer=4",
+              "timesteps=[6]", "refine_entry=3"]
+    events = []
+    for i in range(8):
+        events += [Event(EventType.CIRCLE),
+                   Event(EventType.TIME_SHIFT, 1000 + 250 * i),
+                   Event(EventType.DISTANCE, 120)]
+    timing = [TimingPoint(offset=0.0, ms_per_beat=500.0)]
+    gen_cfg = __import__(
+        "beatheritage_tpu.inference.processor", fromlist=["GenerationConfig"]
+    ).GenerationConfig()
+
+    def spacing_err(weight):
+        args = load_config(InferenceConfig, "inference", "tiny",
+                           overrides=common + [
+                               f"distance_consistency={weight}", "seed=3"])
+        out = DiffusionPipeline(args).generate(events, gen_cfg, timing)
+        pos = np.array([[x.value, y.value] for x, y in zip(
+            [e for e in out if e.type == EventType.POS_X],
+            [e for e in out if e.type == EventType.POS_Y])], np.float64)
+        sp = np.hypot(*np.diff(pos, axis=0).T)
+        return float(np.abs(sp - 120.0).mean()), pos
+
+    err0, pos0 = spacing_err(0.0)
+    err1, pos1 = spacing_err(0.6)
+    assert np.isfinite(pos1).all()
+    # guidance must reduce the mean absolute spacing error substantially
+    # (random-init DiT: the weight-0 output is noise-like)
+    assert err1 < err0 * 0.7, (err0, err1)
