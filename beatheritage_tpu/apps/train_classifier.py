@@ -56,6 +56,13 @@ def main(argv=None) -> int:
     max_tokens = int(cfg.model.add_config.get("classifier_max_tokens", 512))
     init_fn = init_token_classifier_params if tokens_only else init_classifier_params
     params = init_fn(jax.random.PRNGKey(cfg.seed), dims)
+    # warm start (params only, fresh optimizer/schedule): lets a finished
+    # run be extended at a lower LR without retraining from scratch
+    init_ckpt = str(cfg.model.add_config.get("init_ckpt", "") or "")
+    if init_ckpt:
+        from ..train.checkpoints import restore_params  # noqa: PLC0415
+        params = restore_params(init_ckpt)
+        print(f"warm start from {init_ckpt}")
 
     lr = build_schedule(cfg.optim)
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.optim.gradient_clip),
