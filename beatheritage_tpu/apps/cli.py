@@ -28,14 +28,17 @@ def parse_args(argv=None):
 
 def _apply_device_override(overrides: list[str]) -> None:
     """Honor `device=cpu|tpu|auto` before JAX initializes (reference
-    inference.py:31 prepare_args device auto-select)."""
+    inference.py:31 prepare_args device auto-select).
+
+    Must go through parallel.mesh.apply_device: a site hook can re-assert
+    a forced JAX_PLATFORMS after import, so setting the env var alone still
+    dials the TPU backend (and hangs when the tunnel is down)."""
     for o in overrides:
         if o.startswith("device="):
             device = o.split("=", 1)[1].lower()
             if device in ("cpu", "tpu"):
-                os.environ["JAX_PLATFORMS"] = (
-                    "cpu" if device == "cpu" else os.environ.get(
-                        "JAX_PLATFORMS_TPU_NAME", "axon,tpu"))
+                from ..parallel.mesh import apply_device  # noqa: PLC0415
+                apply_device(device)
             break
 
 

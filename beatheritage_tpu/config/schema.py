@@ -424,6 +424,11 @@ class InferenceConfig:
     # processes skip the 10-15 min remote compile (decode/aot.py). 'auto'
     # resolves to ~/.cache/beatheritage_tpu/aot; '' disables
     aot_cache_dir: str = "auto"
+    # precompile decode programs for every window-batch bucket up to this
+    # many windows at Processor/server start (0 = off): removes the ~15 s
+    # fresh-song-length compile tail entirely instead of paying it on the
+    # first song of each length (Processor.warmup)
+    warmup_windows: int = 0
     super_timing: bool = False
     timer_num_beams: int = 2
     timer_bpm_threshold: float = 0.7

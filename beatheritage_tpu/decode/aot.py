@@ -177,6 +177,63 @@ def aot_call(jitted_fn, cache_dir, *args, **kwargs):
         return jitted_fn(*args, **kwargs)
 
 
+def warm_cache(jitted_fn, cache_dir, *args, **kwargs) -> str:
+    """Compile-only entry: populate the executable cache WITHOUT executing.
+
+    Arguments may be real arrays or jax.ShapeDtypeStruct placeholders — only
+    shapes/dtypes reach the compiler. Returns "loaded" (already on disk),
+    "compiled" (fresh compile, serialized when the backend allows), or
+    "bypass" (no cache dir / lowering failed). Used by Processor.warmup to
+    precompile every window-batch bucket at server start so the first song
+    of each length never pays the remote-compile tail (docs/ROUND_NOTES
+    round 3: ~15 s per previously-unseen song length)."""
+    if not cache_dir:
+        return "bypass"
+    cache_dir = Path(os.path.expanduser(str(cache_dir)))
+    try:
+        sig = _call_signature(jitted_fn, args, kwargs)
+    except TypeError:
+        sig = None
+    if sig is not None and sig in _SIG_MEMO:
+        return "loaded"
+    try:
+        lowered = jitted_fn.lower(*args, **kwargs)
+        _, call_tree = jax.tree_util.tree_flatten(
+            (args, tuple(sorted(kwargs.items()))))
+        digest = _digest(lowered, convention=str(call_tree))
+    except Exception:
+        return "bypass"
+
+    status = "loaded"
+    exe = _LOADED.get(digest)
+    if exe is None:
+        path = cache_dir / f"{digest}.aotx"
+        if path.is_file():
+            try:
+                from jax.experimental import serialize_executable as se  # noqa: PLC0415
+                blob, in_tree, out_tree = pickle.loads(path.read_bytes())
+                exe = se.deserialize_and_load(blob, in_tree, out_tree)
+            except Exception:
+                exe = None
+        if exe is None:
+            status = "compiled"
+            compiled = lowered.compile()
+            try:
+                from jax.experimental import serialize_executable as se  # noqa: PLC0415
+                payload = pickle.dumps(se.serialize(compiled))
+                cache_dir.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(".tmp")
+                tmp.write_bytes(payload)
+                tmp.replace(path)
+            except Exception:
+                pass  # unserializable backend: warm for this process only
+            exe = compiled
+        _LOADED[digest] = exe
+    if sig is not None:
+        _SIG_MEMO[sig] = exe
+    return status
+
+
 def _note_fallback(reason: str) -> None:
     _FALLBACKS["count"] += 1
     _FALLBACKS["last_reason"] = reason

@@ -188,6 +188,8 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
         from .server import InferenceClient  # noqa: PLC0415
         client = InferenceClient(args)
     processor = Processor(args, params, tokenizer, client=client)
+    if args.warmup_windows and client is None:
+        processor.warmup(args.warmup_windows)
     postprocessor = Postprocessor(args)
 
     audio = preprocessor.load(audio_path)

@@ -95,6 +95,9 @@ def generation_config_from_beatmap(beatmap: Beatmap, tokenizer: Tokenizer) -> Ge
     )
 
 
+_WARMUP_DONE: set = set()  # process-level Processor.warmup dedupe
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     b = minimum
     while b < n:
@@ -229,10 +232,8 @@ class Processor:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def encode_audio(self, frames: np.ndarray, cond: dict) -> jnp.ndarray:
-        """Run the jitted encoder over a batch of audio windows."""
+    def _encode_kwargs(self, b: int, cond: dict) -> dict:
         kwargs = {}
-        b = frames.shape[0]
         if self.do_style_embed:
             kwargs["beatmap_idx"] = jnp.asarray(cond.get(
                 "beatmap_idx", np.full(b, self.dims.num_classes)), jnp.int32)
@@ -245,7 +246,99 @@ class Processor:
         if self.do_song_position_embed:
             kwargs["song_position"] = jnp.asarray(cond.get(
                 "song_position", np.zeros((b, 2))), jnp.float32)
+        return kwargs
+
+    def encode_audio(self, frames: np.ndarray, cond: dict) -> jnp.ndarray:
+        """Run the jitted encoder over a batch of audio windows."""
+        kwargs = self._encode_kwargs(frames.shape[0], cond)
         return self._encode_jit(self.params, audio=jnp.asarray(frames), **kwargs)
+
+    def warmup(self, max_windows: Optional[int] = None) -> dict:
+        """Precompile (or load from the AOT executable cache) the decode
+        program for every window-batch bucket up to `max_windows`.
+
+        The decode program specializes on the (bucketed) window count, so
+        each previously-unseen song length pays one fresh compile — ~15 s
+        through the remote-compile tunnel (docs/ROUND_NOTES round 3). This
+        front-loads all of them at server start: for each bucket the engine
+        program is lowered with shape-only placeholders and compiled (or
+        loaded from the cross-process AOT cache) WITHOUT executing, for both
+        lookback settings a song can hit. Returns {(kind, batch): status}
+        with status in "loaded"/"compiled"/"bypass".
+
+        No-op under a mesh: sharded programs bake input placements that
+        shape-only warming cannot reproduce.
+        """
+        from ..decode.aot import warm_cache  # noqa: PLC0415
+
+        if self.mesh is not None:
+            return {}
+        aot_dir = getattr(self.args, "aot_cache_dir", "") or ""
+        if aot_dir == "auto":
+            from ..decode.aot import default_cache_dir  # noqa: PLC0415
+            aot_dir = default_cache_dir()
+        max_windows = int(max_windows or self.max_batch_size or 16)
+        # pipeline.generate builds a fresh Processor per song, so warmup runs
+        # per call — dedupe at process level (compilation state is process-
+        # global too; param VALUES don't affect program identity)
+        done_key = (aot_dir, max_windows, self.samples_per_sequence,
+                    self.tgt_seq_len, self.cfg_scale > 1, str(self.dtype),
+                    repr(sorted(self.settings_base.items())),
+                    getattr(self.args, "decode_unroll_layers", False),
+                    getattr(self.args, "decode_kv_quant", False))
+        if done_key in _WARMUP_DONE:
+            return {}
+        buckets, b = [], 1
+        while True:
+            bb = _bucket_windows(b)
+            if bb not in buckets:
+                buckets.append(bb)
+            if bb >= max_windows:
+                break
+            b = bb + 1
+
+        # fixed prompt-pad bucket (mirrors _run_engine exactly)
+        p = min(_bucket(2), self.tgt_seq_len)
+        if self.fixed_prompt_pad:
+            p = max(p, self.tgt_seq_len // 2)
+        p = max(min(p, self.tgt_seq_len - 64), 16)
+        cfg_on = self.cfg_scale > 1
+
+        report = {}
+        for bb in buckets:
+            frames = jax.ShapeDtypeStruct(
+                (bb, self.samples_per_sequence), jnp.float32)
+            enc_kwargs = self._encode_kwargs(bb, {})
+            enc_struct = jax.eval_shape(
+                functools.partial(self._encode_jit, self.params,
+                                  **enc_kwargs), audio=frames)
+            bm = 2 * bb if cfg_on else bb
+            enc_hidden = jax.ShapeDtypeStruct(
+                (bm,) + tuple(enc_struct.shape[1:]), enc_struct.dtype)
+            prompt = jax.ShapeDtypeStruct((bm, p), jnp.int32)
+            mask = jax.ShapeDtypeStruct((bm, p), jnp.bool_)
+            eos_mask = jnp.zeros(self.tables.vocab_size_out, dtype=bool)
+            lookback_mask = jnp.zeros(self.tables.vocab_size_out, dtype=bool)
+            for use_lookback in (False, True):
+                settings = SamplerSettings(
+                    use_lookback=use_lookback,
+                    **{**self.settings_base,
+                       "cfg_scale": self.cfg_scale if cfg_on else 1.0})
+                report[("decode", bb, use_lookback)] = warm_cache(
+                    engine_generate, aot_dir,
+                    self.params, self.dims, settings, self.tables, enc_hidden,
+                    prompt, mask, eos_mask, self._next_key(),
+                    max_len=self.tgt_seq_len, dtype=self.dtype,
+                    lookback_mask=lookback_mask,
+                    unroll_layers=getattr(self.args, "decode_unroll_layers",
+                                          False),
+                    kv_quant=getattr(self.args, "decode_kv_quant", False))
+        _WARMUP_DONE.add(done_key)
+        if self.verbose:
+            n_new = sum(1 for v in report.values() if v == "compiled")
+            print(f"warmup: {len(report)} decode programs ready "
+                  f"({n_new} freshly compiled) for window buckets {buckets}")
+        return report
 
     def _dispatch(self, frames: np.ndarray, wcond: dict,
                   cond_prompt: np.ndarray, uncond_prompt: Optional[np.ndarray],

@@ -83,6 +83,10 @@ class InferenceServer:
         if params is None:
             params, _ = load_model(args, tokenizer)
         self.processor = Processor(args, params, tokenizer, verbose=False)
+        if getattr(args, "warmup_windows", 0):
+            # precompile every window-batch bucket before accepting clients:
+            # the first request of each song length then never pays a compile
+            self.processor.warmup(args.warmup_windows)
         self.address = address or socket_address(
             Path(args.model_path).name or "default")
         self.max_batch_size = args.max_batch_size

@@ -147,11 +147,19 @@ def main() -> int:
     }
     for d in args.gen_dir:
         fg = features_for_dir(Path(d))
-        payload.setdefault("generated", {})[d] = {
+        entry = {
             "fid_vs_a": round(fid_between(fg, fa), 3) if len(fg) >= 4
             else None,
             "windows": int(len(fg)),
         }
+        # FID's estimator bias scales ~d/N, so a 70-window generated set
+        # cannot be read against a 256-window floor. Report the real-vs-real
+        # floor at the generated set's own sample size: FID(subsample of B
+        # at n_gen, full A) — the apples-to-apples number to subtract.
+        if len(fg) >= 4 and len(fb) >= len(fg):
+            sub = rng.permutation(len(fb))[: len(fg)]
+            entry["floor_at_n"] = round(fid_between(fb[sub], fa), 3)
+        payload.setdefault("generated", {})[d] = entry
     Path(args.out).write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
     return 0

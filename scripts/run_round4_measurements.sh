@@ -82,16 +82,23 @@ for phase in $PHASES; do
       # instrument calibration first: real-vs-real floor with the SAME
       # features — any generated-vs-real FID is read against this
       CLF_CKPT=/tmp/synth_classifier_tokens_tpu_best
+      [ -d "$CLF_CKPT" ] || CLF_CKPT=/tmp/synth_classifier_tokens_v5_best
       [ -d "$CLF_CKPT" ] || CLF_CKPT=/tmp/synth_classifier_tokens_best
-      timeout 3600 python scripts/fid_floor.py \
-        --config synth_classifier_tokens --ckpt "$CLF_CKPT" \
-        --dataset /tmp/synth_mmrs_v4 \
-        --out FID_FLOOR_r04.json && cat FID_FLOOR_r04.json
+      # generate fresh outputs first, then calibrate + score everything
+      # (floor, matched-N floors, all generated dirs) with one feature pass
       timeout 5400 python -m beatheritage_tpu.apps.calc_fid -cn synth_flagship \
         classifier_ckpt="$CLF_CKPT" \
         classifier_config=synth_classifier_tokens \
+        inference.output_path=/tmp/fid_out_r4 \
         dataset_path=/tmp/synth_mmrs_v4 dataset_start=560 dataset_end=600 \
         2>&1 | tail -20
+      timeout 3600 python scripts/fid_floor.py \
+        --config synth_classifier_tokens --ckpt "$CLF_CKPT" \
+        --dataset /tmp/synth_mmrs_v4 \
+        --gen-dir /tmp/fid_out_r4 \
+        --gen-dir /tmp/eval_positions_out/coarse \
+        --gen-dir /tmp/eval_positions_out/refined \
+        --out FID_FLOOR_r04.json && cat FID_FLOOR_r04.json
       ;;
     train-deep)
       # flagship deepening: resumes from the latest state_N automatically

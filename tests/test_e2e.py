@@ -368,3 +368,50 @@ def test_timing_only_early_stop_matches_full_stream(args, wav, monkeypatch):
     ev_full, t_full = outs[False]
     assert [str(e) for e in ev_fast] == [str(e) for e in ev_full]
     assert list(t_fast) == list(t_full)
+
+
+def test_warmup_precompiles_decode_buckets(args, wav, tmp_path):
+    """Processor.warmup compiles (without executing) one decode program per
+    window-batch bucket x lookback setting, and the subsequent real generate
+    reuses the warmed executables: no new .aotx appears and no
+    call-convention fallback fires (regression for the fresh-song-length
+    compile tail, docs/ROUND_NOTES round 3)."""
+    import dataclasses
+
+    from beatheritage_tpu.decode import aot
+    from beatheritage_tpu.inference.pipeline import (build_configs,
+                                                     load_model,
+                                                     load_tokenizer)
+    from beatheritage_tpu.inference.preprocessor import Preprocessor
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True,
+                               aot_cache_dir=str(tmp_path), warmup_windows=4)
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    proc = Processor(base, params, tok, verbose=False)
+
+    aot._LOADED.clear()
+    aot._SIG_MEMO.clear()
+    aot._FALLBACKS["count"] = 0
+    aot._FALLBACKS.pop("last_reason", None)
+
+    report = proc.warmup(4)
+    assert report, "warmup returned no programs"
+    assert all(v in ("compiled", "loaded") for v in report.values()), report
+    files = set(tmp_path.glob("*.aotx"))
+    assert files, "warmup serialized no executables"
+
+    gen_cfg, _ = build_configs(base)
+    pre = Preprocessor(base, parallel=True)
+    sequences = pre.segment(pre.load(wav))
+    results = proc.generate(
+        sequences=sequences, generation_config=gen_cfg,
+        in_context=base.in_context, out_context=base.output_type,
+        verbose=False)
+    # content may be empty for a random-weight model (EOS can be the first
+    # sample) — the property under test is program reuse, not map quality
+    assert len(results) >= 1
+    # the real call must land on a warmed program, not compile a new one
+    assert set(tmp_path.glob("*.aotx")) == files
+    assert "convention" not in aot._FALLBACKS.get("last_reason", "")
