@@ -43,7 +43,9 @@ import time
 # wires over vsock; when the relay is dead the port connection is refused.
 # BENCH_RELAY_PORTS overrides for tests.
 RELAY_PORTS = tuple(
-    int(p) for p in os.environ.get("BENCH_RELAY_PORTS", "8082,8083,8087")
+    int(p) for p in os.environ.get(
+        "BENCH_RELAY_PORTS",
+        "8082,8083,8087,8092,8093,8097,8102,8103,8107,8112,8113,8117")
     .split(","))
 BASELINE_AUDIO_MIN_PER_SEC = 0.3  # 3-minute song in 10 s
 
