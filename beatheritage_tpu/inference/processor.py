@@ -97,6 +97,21 @@ def generation_config_from_beatmap(beatmap: Beatmap, tokenizer: Tokenizer) -> Ge
 
 _WARMUP_DONE: set = set()  # process-level Processor.warmup dedupe
 
+# (train_cfg, dims, dtype) -> shared jitted encoder. Keys hold a strong
+# reference to the cfg object (id() alone could be recycled after gc).
+_ENCODE_JIT_MEMO: dict = {}
+
+
+def _get_encode_jit(train_cfg, dims, dtype):
+    key = (id(train_cfg), dims, str(dtype))
+    hit = _ENCODE_JIT_MEMO.get(key)
+    if hit is not None and hit[0] is train_cfg:
+        return hit[1]
+    fn = jax.jit(functools.partial(model_encode, dims=dims, cfg=train_cfg,
+                                   dtype=dtype))
+    _ENCODE_JIT_MEMO[key] = (train_cfg, fn)
+    return fn
+
 
 def _bucket(n: int, minimum: int = 64) -> int:
     b = minimum
@@ -221,10 +236,11 @@ class Processor:
         seed = args.seed if args.seed is not None else 0
         self._key = jax.random.PRNGKey(seed)
 
-        self._encode_jit = jax.jit(
-            functools.partial(model_encode, dims=self.dims, cfg=args.train,
-                              dtype=self.dtype),
-            static_argnames=())
+        # the jitted encoder is shared ACROSS Processor instances: the
+        # pipeline builds a fresh Processor per song, and a per-instance
+        # jax.jit wrapper would re-trace (and possibly recompile) the
+        # encoder for every song
+        self._encode_jit = _get_encode_jit(args.train, self.dims, self.dtype)
 
     # -- device helpers ------------------------------------------------------
 
@@ -248,10 +264,20 @@ class Processor:
                 "song_position", np.zeros((b, 2))), jnp.float32)
         return kwargs
 
+    def _aot_dir(self) -> str:
+        aot_dir = getattr(self.args, "aot_cache_dir", "") or ""
+        if aot_dir == "auto":
+            from ..decode.aot import default_cache_dir  # noqa: PLC0415
+            aot_dir = default_cache_dir()
+        return aot_dir
+
     def encode_audio(self, frames: np.ndarray, cond: dict) -> jnp.ndarray:
-        """Run the jitted encoder over a batch of audio windows."""
+        """Run the jitted encoder over a batch of audio windows (through the
+        AOT executable cache: later processes skip the encoder compile)."""
         kwargs = self._encode_kwargs(frames.shape[0], cond)
-        return self._encode_jit(self.params, audio=jnp.asarray(frames), **kwargs)
+        from ..decode.aot import aot_call  # noqa: PLC0415
+        return aot_call(self._encode_jit, self._aot_dir(), self.params,
+                        audio=jnp.asarray(frames), **kwargs)
 
     def warmup(self, max_windows: Optional[int] = None) -> dict:
         """Precompile (or load from the AOT executable cache) the decode
@@ -273,10 +299,7 @@ class Processor:
 
         if self.mesh is not None:
             return {}
-        aot_dir = getattr(self.args, "aot_cache_dir", "") or ""
-        if aot_dir == "auto":
-            from ..decode.aot import default_cache_dir  # noqa: PLC0415
-            aot_dir = default_cache_dir()
+        aot_dir = self._aot_dir()
         max_windows = int(max_windows or self.max_batch_size or 16)
         # pipeline.generate builds a fresh Processor per song, so warmup runs
         # per call — dedupe at process level (compilation state is process-
@@ -309,6 +332,9 @@ class Processor:
             frames = jax.ShapeDtypeStruct(
                 (bb, self.samples_per_sequence), jnp.float32)
             enc_kwargs = self._encode_kwargs(bb, {})
+            report[("encode", bb)] = warm_cache(
+                self._encode_jit, aot_dir, self.params, audio=frames,
+                **enc_kwargs)
             enc_struct = jax.eval_shape(
                 functools.partial(self._encode_jit, self.params,
                                   **enc_kwargs), audio=frames)
@@ -336,7 +362,7 @@ class Processor:
         _WARMUP_DONE.add(done_key)
         if self.verbose:
             n_new = sum(1 for v in report.values() if v == "compiled")
-            print(f"warmup: {len(report)} decode programs ready "
+            print(f"warmup: {len(report)} encode/decode programs ready "
                   f"({n_new} freshly compiled) for window buckets {buckets}")
         return report
 
