@@ -307,6 +307,7 @@ class Processor:
         done_key = (aot_dir, max_windows, self.samples_per_sequence,
                     self.tgt_seq_len, self.cfg_scale > 1, str(self.dtype),
                     repr(sorted(self.settings_base.items())),
+                    self.num_beams, getattr(self.args, "speculative_k", 0),
                     getattr(self.args, "decode_unroll_layers", False),
                     getattr(self.args, "decode_kv_quant", False))
         if done_key in _WARMUP_DONE:
@@ -345,20 +346,43 @@ class Processor:
             mask = jax.ShapeDtypeStruct((bm, p), jnp.bool_)
             eos_mask = jnp.zeros(self.tables.vocab_size_out, dtype=bool)
             lookback_mask = jnp.zeros(self.tables.vocab_size_out, dtype=bool)
+            kv_quant = getattr(self.args, "decode_kv_quant", False)
             for use_lookback in (False, True):
                 settings = SamplerSettings(
                     use_lookback=use_lookback,
                     **{**self.settings_base,
                        "cfg_scale": self.cfg_scale if cfg_on else 1.0})
-                report[("decode", bb, use_lookback)] = warm_cache(
-                    engine_generate, aot_dir,
-                    self.params, self.dims, settings, self.tables, enc_hidden,
-                    prompt, mask, eos_mask, self._next_key(),
-                    max_len=self.tgt_seq_len, dtype=self.dtype,
-                    lookback_mask=lookback_mask,
-                    unroll_layers=getattr(self.args, "decode_unroll_layers",
-                                          False),
-                    kv_quant=getattr(self.args, "decode_kv_quant", False))
+                # mirror _run_engine's engine selection so warming follows
+                # the instance's actual configuration (e.g. the super-timing
+                # generator flips num_beams/do_sample after construction)
+                if self.num_beams > 1 and not settings.do_sample and not cfg_on:
+                    from ..decode.engine import beam_generate  # noqa: PLC0415
+                    report[("beam", bb, use_lookback)] = warm_cache(
+                        beam_generate, aot_dir,
+                        self.params, self.dims, settings, self.tables,
+                        enc_hidden, prompt, mask, eos_mask,
+                        max_len=self.tgt_seq_len,
+                        num_beams=self.num_beams, dtype=self.dtype,
+                        kv_quant=kv_quant)
+                elif getattr(self.args, "speculative_k", 0) > 0:
+                    from ..decode.speculative import generate_speculative  # noqa: PLC0415
+                    report[("speculative", bb, use_lookback)] = warm_cache(
+                        generate_speculative, aot_dir,
+                        self.params, self.dims, settings, self.tables,
+                        enc_hidden, prompt, mask, eos_mask, self._next_key(),
+                        max_len=self.tgt_seq_len,
+                        draft_k=int(self.args.speculative_k),
+                        dtype=self.dtype, lookback_mask=lookback_mask)
+                else:
+                    report[("decode", bb, use_lookback)] = warm_cache(
+                        engine_generate, aot_dir,
+                        self.params, self.dims, settings, self.tables,
+                        enc_hidden, prompt, mask, eos_mask, self._next_key(),
+                        max_len=self.tgt_seq_len, dtype=self.dtype,
+                        lookback_mask=lookback_mask,
+                        unroll_layers=getattr(self.args,
+                                              "decode_unroll_layers", False),
+                        kv_quant=kv_quant)
         _WARMUP_DONE.add(done_key)
         if self.verbose:
             n_new = sum(1 for v in report.values() if v == "compiled")

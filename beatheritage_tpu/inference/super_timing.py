@@ -38,6 +38,10 @@ class SuperTimingGenerator:
         self.processor.settings_base = dict(
             self.processor.settings_base,
             do_sample=False, top_p=1.0, top_k=50, temperature=1.0)
+        if getattr(args, "warmup_windows", 0):
+            # warm AFTER the beam/greedy overrides so the precompiled
+            # programs match the timer's actual engine branch
+            self.processor.warmup(args.warmup_windows)
         self.bpm_change_threshold = args.timer_bpm_threshold
         self.types_first = args.train.data.types_first
         self.iterations = args.timer_iterations

@@ -415,3 +415,26 @@ def test_warmup_precompiles_decode_buckets(args, wav, tmp_path):
     # the real call must land on a warmed program, not compile a new one
     assert set(tmp_path.glob("*.aotx")) == files
     assert "convention" not in aot._FALLBACKS.get("last_reason", "")
+
+
+def test_warmup_follows_engine_branch(args, tmp_path):
+    """warmup mirrors _run_engine's branch selection: a beam/greedy
+    processor (the super-timing configuration) warms beam programs, not the
+    sampling engine's."""
+    import dataclasses
+
+    from beatheritage_tpu.inference.pipeline import load_model, load_tokenizer
+    from beatheritage_tpu.inference.processor import Processor
+
+    base = dataclasses.replace(args, parallel=True,
+                               aot_cache_dir=str(tmp_path))
+    tok = load_tokenizer(base)
+    params, _ = load_model(base, tok)
+    proc = Processor(base, params, tok, verbose=False, cfg_scale=1.0)
+    proc.num_beams = 2
+    proc.settings_base = dict(proc.settings_base, do_sample=False,
+                              top_p=1.0, top_k=50, temperature=1.0)
+    report = proc.warmup(1)
+    kinds = {k[0] for k in report}
+    assert "beam" in kinds and "decode" not in kinds, report
+    assert all(v in ("compiled", "loaded") for v in report.values()), report
