@@ -12,7 +12,6 @@ from __future__ import annotations
 from . import excepthook  # noqa: F401  (reference: excepthook.py — friendly error hints)
 
 import argparse
-import os
 import sys
 
 
