@@ -438,3 +438,21 @@ def test_warmup_follows_engine_branch(args, tmp_path):
     kinds = {k[0] for k in report}
     assert "beam" in kinds and "decode" not in kinds, report
     assert all(v in ("compiled", "loaded") for v in report.values()), report
+
+
+@pytest.mark.parametrize("gamemode", [0, 1, 2, 3])
+def test_full_pipeline_each_gamemode(args, wav, tmp_path, gamemode):
+    """Every gamemode produces a valid .osu with the right Mode header
+    (std/taiko/ctb/mania; reference inference.py supports all four)."""
+    import dataclasses
+    cfg = dataclasses.replace(args, gamemode=gamemode,
+                              keycount=4 if gamemode == 3 else None)
+    result, path, _ = generate(
+        cfg, audio_path=wav, output_path=str(tmp_path / str(gamemode)),
+        verbose=False)
+    assert path is not None
+    bm = Beatmap.from_path(path)
+    assert bm.mode == gamemode
+    assert bm.timing_points
+    if gamemode == 3:
+        assert int(bm.circle_size) == 4  # keycount rides circle_size
