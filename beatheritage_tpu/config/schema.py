@@ -247,6 +247,12 @@ class TrainConfig:
     seed: int = 42
     flash_attention: bool = True
     gradient_checkpointing: bool = False
+    # per-layer remat policy when gradient_checkpointing is on: '' saves
+    # nothing inside the layer (lowest memory, recomputes the matmuls in
+    # the backward); 'dots' saves MXU outputs and recomputes only the
+    # cheap elementwise ops (jax dots_with_no_batch_dims_saveable) — an
+    # MFU/memory trade to A/B on device
+    remat_policy: str = ""
     # chunked cross-entropy: compute lm_head+loss per token chunk of this
     # size under remat so (B, T, V) logits never materialize; 0 = off
     loss_chunk_size: int = 0

@@ -50,6 +50,19 @@ from .embedders import (
 RMS_EPS = 1.1920928955078125e-07
 
 
+def _remat_wrap(fn, remat):
+    """Apply per-layer gradient checkpointing. remat: False = off, True/'' =
+    save-nothing (lowest memory), 'dots' = save MXU outputs and recompute
+    only elementwise ops (TrainConfig.remat_policy)."""
+    if not remat:
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
+
+
 def rms_norm(x, g, eps: float = RMS_EPS):
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -339,7 +352,7 @@ def encode(params, dims: ModelDims, cfg, audio: jnp.ndarray, *,
     # per-layer remat: store only the 12 layer inputs, recompute the rest in
     # the backward (whole-forward checkpointing still saves every layer's
     # scan residuals simultaneously, which blows HBM at T=8192)
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    body = _remat_wrap(layer_fn, remat)
     x, _ = jax.lax.scan(body, x, params["encoder"]["layers"])
     return rms_norm(x, params["encoder"]["lnf"]["g"])
 
@@ -404,7 +417,7 @@ def decode_train(params, dims: ModelDims, decoder_input_ids: jnp.ndarray,
         h = h + _ffn(layer, rms_norm(h, layer["ln3"]["g"]))
         return h, None
 
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    body = _remat_wrap(layer_fn, remat)
     x, _ = jax.lax.scan(body, x, params["decoder"]["layers"])
     x = rms_norm(x, params["decoder"]["lnf"]["g"])
     if return_hidden:

@@ -50,6 +50,14 @@ def init_train_state(params, optimizer, ema: bool = True) -> TrainState:
     )
 
 
+def _remat_arg(cfg):
+    """False when checkpointing is off; else the configured policy string
+    ('dots' saves MXU outputs) or True for save-nothing."""
+    if not cfg.gradient_checkpointing:
+        return False
+    return getattr(cfg, "remat_policy", "") or True
+
+
 def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
                  dtype=jnp.bfloat16, backbone=None) -> Callable:
     class_weights = rhythm_class_weights(dims)
@@ -89,7 +97,7 @@ def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
                 mapper_idx=batch.get("mapper_idx"),
                 song_position=batch.get("song_position"),
                 dtype=dtype, use_flash=use_flash,
-                remat=cfg.gradient_checkpointing, return_hidden=True)
+                remat=_remat_arg(cfg), return_hidden=True)
             from ..models.transformer import chunked_weighted_cross_entropy
             loss, n_tokens, n_correct = chunked_weighted_cross_entropy(
                 hidden, params["lm_head"], batch["labels"], class_weights,
@@ -112,7 +120,7 @@ def make_loss_fn(dims: ModelDims, cfg, use_flash: bool = False,
                 mapper_idx=batch.get("mapper_idx"),
                 song_position=batch.get("song_position"),
                 dtype=dtype, use_flash=use_flash,
-                remat=cfg.gradient_checkpointing)
+                remat=_remat_arg(cfg))
         loss, n_tokens = weighted_cross_entropy(
             logits, batch["labels"], class_weights,
             label_smoothing=dims.label_smoothing,

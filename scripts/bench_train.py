@@ -20,7 +20,15 @@ def main() -> int:
     parser.add_argument("--config", default="beatheritage_v1")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--override", action="append", default=[],
+                        help="config dotted overrides, e.g. remat_policy=dots")
+    parser.add_argument("--device", default="auto",
+                        help="cpu forces the host platform past the site "
+                             "hook; auto probes the ambient backend")
     ns = parser.parse_args()
+
+    from _backend import ensure_backend
+    ensure_backend(ns.device)
 
     import jax
     import numpy as np
@@ -32,7 +40,8 @@ def main() -> int:
     from beatheritage_tpu.train.train_loop import Trainer
 
     cfg = load_config(TrainConfig, "train", ns.config
-                      if ns.config != "beatheritage_v1" else "beatheritage_v1")
+                      if ns.config != "beatheritage_v1" else "beatheritage_v1",
+                      overrides=ns.override)
     cfg.optim.batch_size = ns.batch
     cfg.optim.grad_acc = 1
     tok = Tokenizer(cfg)

@@ -109,6 +109,12 @@ for phase in $PHASES; do
     mfu)
       timeout 3600 python scripts/bench_train.py --batch 28 --steps 12 \
         2>&1 | tail -5
+      # remat-policy A/B: 'dots' saves MXU outputs in the bwd (more memory,
+      # less recompute) — batch 24 leaves headroom for the saved buffers
+      timeout 3600 python scripts/bench_train.py --batch 24 --steps 12 \
+        --override remat_policy=dots 2>&1 | tail -5
+      timeout 3600 python scripts/bench_train.py --batch 24 --steps 12 \
+        2>&1 | tail -5
       timeout 1200 python scripts/profile_decode.py --windows 24 \
         --trace-dir "/tmp/decode_trace_$STAMP"
       timeout 1200 python scripts/profile_decode.py --windows 24 --unroll \

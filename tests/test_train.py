@@ -409,3 +409,40 @@ def test_train_step_chunked_loss_matches_plain():
                                metrics_by_mode[0]["loss"], rtol=1e-5)
     np.testing.assert_allclose(metrics_by_mode[8]["accuracy"],
                                metrics_by_mode[0]["accuracy"], rtol=1e-6)
+
+
+def test_remat_policy_dots_matches_save_nothing():
+    """remat_policy='dots' (save MXU outputs) produces the same loss and
+    gradient values as the save-nothing default — remat is a memory/compute
+    trade, never a numerics change."""
+    import jax
+    import numpy as np
+    from beatheritage_tpu.config import TrainConfig, load_config
+    from beatheritage_tpu.models import ModelDims, init_params
+    from beatheritage_tpu.tokenizer import Tokenizer
+    from beatheritage_tpu.train.train_loop import Trainer
+
+    metrics_by_policy = {}
+    for policy in ("", "dots"):
+        cfg = load_config(TrainConfig, "train", "tiny", overrides=[
+            "optim.grad_acc=1", "optim.batch_size=8",
+            "gradient_checkpointing=true", "precision=f32",
+            f"remat_policy={policy}"])
+        tok = Tokenizer(cfg)
+        dims = ModelDims.from_config(cfg, tok)
+        params = init_params(jax.random.PRNGKey(0), dims)
+        trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
+        n = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+        rng = np.random.default_rng(0)
+        batch = {
+            "frames": rng.standard_normal((8, n)).astype(np.float32),
+            "decoder_input_ids": np.ones((8, 20), np.int32),
+            "labels": np.full((8, 20), 5, np.int32),
+        }
+        state, metrics = trainer.train_step(trainer.state, batch)
+        metrics_by_policy[policy] = {k: float(v) for k, v in metrics.items()}
+
+    np.testing.assert_allclose(metrics_by_policy["dots"]["loss"],
+                               metrics_by_policy[""]["loss"], rtol=1e-6)
+    np.testing.assert_allclose(metrics_by_policy["dots"]["grad_l2"],
+                               metrics_by_policy[""]["grad_l2"], rtol=1e-4)
