@@ -100,6 +100,16 @@ for phase in $PHASES; do
         --gen-dir /tmp/eval_positions_out/refined \
         --out FID_FLOOR_r04.json && cat FID_FLOOR_r04.json
       ;;
+    generation)
+      # generation-regime DiT (full t range): positions from noise on
+      # held-out skeletons + a real ranked map (CPU-capable)
+      timeout 7200 python scripts/eval_generation.py --device cpu \
+        --diff-ckpt /tmp/synth_dit_xs_gen_ckpt \
+        --diffusion-config synth_xs_gen_v5_cpu \
+        --dataset /tmp/synth_mmrs_v5 --maps 4 \
+        --beatmap /root/reference/osu_diffusion/testing/toy_datasets/kimi_no_bouken.osu \
+        --out EVAL_GENERATION_r04_cpu.json && cat EVAL_GENERATION_r04_cpu.json
+      ;;
     train-deep)
       # flagship deepening: resumes from the latest state_N automatically
       timeout 28800 python -m beatheritage_tpu.apps.train -cn synth_flagship \
