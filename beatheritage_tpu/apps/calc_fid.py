@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     parser.add_argument("-cn", "--config-name", default="calc_fid")
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
 
     import numpy as np
 

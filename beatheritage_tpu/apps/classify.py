@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     parser.add_argument("-cn", "--config-name", default="tiny")
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
 
     opts = dict(o.split("=", 1) for o in ns.overrides if "=" in o)
     beatmap_path = opts.pop("beatmap_path", "")

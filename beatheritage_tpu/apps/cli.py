@@ -25,25 +25,10 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _apply_device_override(overrides: list[str]) -> None:
-    """Honor `device=cpu|tpu|auto` before JAX initializes (reference
-    inference.py:31 prepare_args device auto-select).
-
-    Must go through parallel.mesh.apply_device: a site hook can re-assert
-    a forced JAX_PLATFORMS after import, so setting the env var alone still
-    dials the TPU backend (and hangs when the tunnel is down)."""
-    for o in overrides:
-        if o.startswith("device="):
-            device = o.split("=", 1)[1].lower()
-            if device in ("cpu", "tpu"):
-                from ..parallel.mesh import apply_device  # noqa: PLC0415
-                apply_device(device)
-            break
-
-
 def main(argv=None) -> int:
     ns = parse_args(argv)
-    _apply_device_override(ns.overrides)
+    from ._device import apply_device_override  # noqa: PLC0415
+    apply_device_override(ns.overrides)
     from ..config import InferenceConfig, load_config  # noqa: PLC0415
     from ..inference.pipeline import generate  # noqa: PLC0415
 

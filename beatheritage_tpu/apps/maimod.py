@@ -227,6 +227,8 @@ def main(argv=None) -> int:
     parser.add_argument("-cn", "--config-name", default="default")
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
     from ..config import MaiModConfig, load_config  # noqa: PLC0415
     # MaiMod composes an inference config (reference configs/mai_mod.yaml)
     from ..config import InferenceConfig  # noqa: PLC0415

@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     parser.add_argument("-cn", "--config-name", default="default")
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
 
     from ..config import InferenceConfig, load_config
     from ..data.event_utils import remove_events_of_type
@@ -49,7 +51,14 @@ def main(argv=None) -> int:
     diff_params, refine_params = load_diffusion_model(args)
     if diff_params is not None:
         print(f"Loaded diffusion model from {args.diff_ckpt}")
-    pipeline = DiffusionPipeline(args, diff_params,
+    # conditioning tables saved next to the checkpoint (reference
+    # inference.py:516 restores the pickled tokenizer with the model)
+    from ..diffusion.tokenizer import DiffusionTokenizer  # noqa: PLC0415
+    diff_tok = None
+    tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+    if tok_file.is_file():
+        diff_tok = DiffusionTokenizer.from_pretrained(tok_file)
+    pipeline = DiffusionPipeline(args, diff_params, tokenizer=diff_tok,
                                  refine_params=refine_params)
     events = pipeline.generate(events, generation_config, timing, verbose=True)
 

@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
 
     import jax
     import jax.numpy as jnp

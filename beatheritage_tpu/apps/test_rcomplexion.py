@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     parser.add_argument("--src-seq-len", type=int, default=16)
     parser.add_argument("overrides", nargs="*")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override
+    apply_device_override(ns.overrides)
 
     import jax
     import jax.numpy as jnp

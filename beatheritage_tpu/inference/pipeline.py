@@ -255,6 +255,16 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
                 if verbose and refine_params is not None:
                     print(f"Loaded position-refine model from "
                           f"{args.diff_refine_ckpt}")
+            if diff_tokenizer is None:
+                # the DiT trainer saves its conditioning tables next to the
+                # checkpoint (reference inference.py:516 load_diff_model
+                # restores the pickled tokenizer); without them the class
+                # vector is sized for empty tables and mismatches the params
+                from ..diffusion.tokenizer import DiffusionTokenizer  # noqa: PLC0415
+                tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+                if tok_file.is_file():
+                    diff_tokenizer = DiffusionTokenizer.from_pretrained(
+                        tok_file)
             pipeline = DiffusionPipeline(args, diff_params, diff_tokenizer,
                                          refine_params=refine_params)
             events = pipeline.generate(events=events,
