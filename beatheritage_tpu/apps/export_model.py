@@ -43,7 +43,11 @@ def main(argv=None) -> int:
     parser.add_argument("output", help="export directory")
     parser.add_argument("--opted-out", default="",
                         help="JSON file with a list of opted-out mapper user ids")
+    parser.add_argument("--device", default="auto",
+                        help="cpu forces the host platform past site hooks")
     ns = parser.parse_args(argv)
+    from ._device import apply_device_override  # noqa: PLC0415
+    apply_device_override([f"device={ns.device}"])
 
     from ..tokenizer import Tokenizer  # noqa: PLC0415
     from ..train.checkpoints import restore_params, save_params  # noqa: PLC0415
