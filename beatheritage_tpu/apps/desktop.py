@@ -15,6 +15,39 @@ import sys
 import threading
 
 
+class DesktopApi:
+    """Native file dialogs exposed to the page as window.pywebview.api
+    (reference: web-ui.py Api.browse_file/browse_folder/save_file backing
+    static/app.js FileBrowser). The browser build falls back to the
+    server-side /browse picker when this API is absent."""
+
+    AUDIO = ("Audio files (*.mp3;*.wav;*.ogg;*.m4a;*.flac)", "All files (*.*)")
+    OSU = ("Beatmap files (*.osu)", "All files (*.*)")
+
+    def __init__(self, webview_module):
+        self._webview = webview_module
+
+    def _window(self):
+        return self._webview.windows[0]
+
+    def browse_file(self, kind="all"):
+        types = (self.AUDIO if kind == "audio"
+                 else self.OSU if kind == "osu" else ("All files (*.*)",))
+        picked = self._window().create_file_dialog(
+            self._webview.OPEN_DIALOG, file_types=types)
+        return picked[0] if picked else None
+
+    def browse_folder(self):
+        picked = self._window().create_file_dialog(self._webview.FOLDER_DIALOG)
+        return picked[0] if picked else None
+
+    def save_file(self, filename="config.json"):
+        picked = self._window().create_file_dialog(
+            self._webview.SAVE_DIALOG, save_filename=filename)
+        return picked if isinstance(picked, str) else (
+            picked[0] if picked else None)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="beatheritage desktop shell")
     parser.add_argument("--port", type=int, default=9727)
@@ -39,7 +72,8 @@ def main(argv=None) -> int:
             pass
         return 0
 
-    webview.create_window("BeatHeritage TPU", url, width=860, height=900)
+    webview.create_window("BeatHeritage TPU", url, width=860, height=900,
+                          js_api=DesktopApi(webview))
     webview.start()
     server.shutdown()
     return 0

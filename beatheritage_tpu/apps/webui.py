@@ -137,6 +137,41 @@ def _preset_path(name: str) -> Path:
     return PRESETS_DIR / f"{safe}.json"
 
 
+AUDIO_EXTS = (".wav", ".mp3", ".ogg", ".flac", ".m4a")
+
+
+def browse_dir(raw: str, kind: str) -> dict:
+    """Directory listing for the in-browser file picker.
+
+    The reference client browses via native pywebview dialogs
+    (static/app.js FileBrowser -> window.pywebview.api.browse_file);
+    this serves the same capability to a plain browser. The desktop
+    shell still prefers the native dialogs when pywebview is present.
+    `kind` filters files: audio extensions, .osu, or everything."""
+    base = (Path(raw).expanduser() if raw else Path.home()).resolve()
+    if not base.is_dir():
+        raise FileNotFoundError(f"not a directory: {base}")
+    dirs: list[str] = []
+    files: list[str] = []
+    for p in sorted(base.iterdir(), key=lambda p: p.name.lower()):
+        if p.name.startswith("."):
+            continue
+        try:
+            if p.is_dir():
+                dirs.append(p.name)
+            elif kind == "audio" and p.suffix.lower() in AUDIO_EXTS:
+                files.append(p.name)
+            elif kind == "osu" and p.suffix.lower() == ".osu":
+                files.append(p.name)
+            elif kind not in ("audio", "osu", "dir"):
+                files.append(p.name)
+        except OSError:  # dangling symlink etc.
+            continue
+    return {"dir": str(base),
+            "parent": str(base.parent) if base.parent != base else None,
+            "dirs": dirs[:500], "files": files[:500]}
+
+
 def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
     """Path validation matching the reference UI's checks
     (web-ui.py:514 validate_paths)."""
@@ -145,8 +180,7 @@ def validate_path_kind(path: str, kind: str) -> tuple[bool, str]:
         return False, "file does not exist"
     if kind == "osu" and p.suffix.lower() != ".osu":
         return False, "beatmap must be a .osu file"
-    if kind == "file" and p.suffix.lower() not in (
-            ".wav", ".mp3", ".ogg", ".flac", ".m4a"):
+    if kind == "file" and p.suffix.lower() not in AUDIO_EXTS:
         return False, f"unsupported audio extension {p.suffix}"
     return True, ""
 
@@ -378,6 +412,12 @@ class Handler(BaseHTTPRequestHandler):
             presets = (sorted(p.stem for p in PRESETS_DIR.glob("*.json"))
                        if PRESETS_DIR.is_dir() else [])
             self._json(presets)
+        elif path == "/browse":
+            try:
+                self._json(browse_dir(q.get("dir", [""])[0],
+                                      q.get("filter", ["all"])[0]))
+            except (OSError, FileNotFoundError) as e:
+                self._json({"error": str(e)}, 400)
         elif path == "/load_config":
             name = q.get("name", [""])[0]
             p = _preset_path(name)

@@ -304,6 +304,100 @@ async function postJSON(url, obj) {
 }
 
 // =============================================================================
+// File browsing (reference FileBrowser uses native pywebview dialogs; in a
+// plain browser the server-side /browse listing backs a picker modal)
+// =============================================================================
+
+const Browse = {
+  target: null, kind: "all", dir: "",
+
+  async openFor(targetId, kind) {
+    this.target = targetId;
+    this.kind = kind;
+    // desktop shell: prefer the native dialog (reference FileBrowser)
+    const api = window.pywebview?.api;
+    if (api?.browse_file && api?.browse_folder) {
+      try {
+        const path = kind === "dir"
+          ? await api.browse_folder()
+          : await api.browse_file(kind);
+        if (path) this.pick(path);
+        return;
+      } catch (e) { /* fall through to the in-browser picker */ }
+    }
+    $("browse-modal").hidden = false;
+    $("browse-pick-dir").hidden = kind !== "dir";
+    await this.load($(targetId).value.trim().replace(/\/[^/]*$/, "") || "");
+  },
+
+  async load(dir) {
+    const r = await fetch(
+      `/browse?dir=${encodeURIComponent(dir)}&filter=${this.kind}`);
+    const j = await r.json();
+    if (j.error) {
+      flash(j.error, "error");
+      if (dir) await this.load("");  // fall back to the home directory
+      return;
+    }
+    this.dir = j.dir;
+    $("browse-dir").textContent = j.dir;
+    $("browse-up").disabled = !j.parent;
+    $("browse-up").dataset.parent = j.parent || "";
+    const list = $("browse-list");
+    list.innerHTML = "";
+    const sep = j.dir.endsWith("/") ? "" : "/";
+    for (const d of j.dirs) {
+      const row = document.createElement("div");
+      row.className = "browse-row dir";
+      row.textContent = "📁 " + d;
+      row.onclick = () => this.load(j.dir + sep + d);
+      list.appendChild(row);
+    }
+    for (const f of j.files) {
+      const row = document.createElement("div");
+      row.className = "browse-row file";
+      row.textContent = f;
+      row.onclick = () => this.pick(j.dir + sep + f);
+      list.appendChild(row);
+    }
+    if (!j.dirs.length && !j.files.length) {
+      const row = document.createElement("div");
+      row.className = "browse-row empty";
+      row.textContent = "(empty)";
+      list.appendChild(row);
+    }
+  },
+
+  pick(path) {
+    const input = $(this.target);
+    input.value = path;
+    this.close();
+    input.dispatchEvent(new Event("input", { bubbles: true }));
+    input.dispatchEvent(new Event("blur"));
+    updateClearButtons();
+    updateVisibility();
+    persistState();
+  },
+
+  close() {
+    $("browse-modal").hidden = true;
+  },
+};
+
+for (const btn of document.querySelectorAll(".browse-btn")) {
+  btn.onclick = () => Browse.openFor(btn.dataset.target, btn.dataset.kind);
+}
+$("browse-close").onclick = () => Browse.close();
+$("browse-up").onclick = (e) => {
+  const parent = e.target.dataset.parent;
+  if (parent) Browse.load(parent);
+};
+$("browse-pick-dir").onclick = () => Browse.pick(Browse.dir);
+$("browse-modal").onclick = (e) => {
+  if (e.target.id === "browse-modal") Browse.close();
+};
+
+// =============================================================================
 // Form state: persistence, export/import, reset (reference ConfigManager)
 // =============================================================================
 

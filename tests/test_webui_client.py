@@ -101,3 +101,49 @@ def test_preview_feature_wired():
     for marker in ("HitObjects", "TimingPoints", "SliderMultiplier",
                    "type & 2", "type & 8"):
         assert marker in js, marker
+
+
+def test_browse_feature_wired():
+    """File picker (reference FileBrowser, served browser-side here):
+    browse buttons on every path input, modal DOM present, JS hits the
+    /browse route, and each button's filter kind matches its input."""
+    html = (STATIC / "index.html").read_text()
+    js = (STATIC / "app.js").read_text()
+    for el in ("browse-modal", "browse-panel", "browse-list", "browse-up",
+               "browse-close", "browse-pick-dir", "browse-dir"):
+        assert f'id="{el}"' in html, el
+    assert "/browse?" in js
+    kinds = dict(re.findall(
+        r'class="browse-btn" data-target="([^"]+)"\s+data-kind="([^"]+)"',
+        html))
+    assert kinds == {"audio_path": "audio", "beatmap_path": "osu",
+                     "output_path": "dir"}
+    # the desktop shell's native dialogs are preferred when present
+    assert "pywebview" in js
+
+
+def test_desktop_api_native_dialogs():
+    """DesktopApi maps the client's browse calls onto pywebview dialogs."""
+    from types import SimpleNamespace
+
+    from beatheritage_tpu.apps.desktop import DesktopApi
+
+    calls = []
+
+    class FakeWindow:
+        def create_file_dialog(self, kind, **kw):
+            calls.append((kind, kw))
+            return ["/picked/file.mp3"]
+
+    fake = SimpleNamespace(OPEN_DIALOG="open", FOLDER_DIALOG="folder",
+                           SAVE_DIALOG="save", windows=[FakeWindow()])
+    api = DesktopApi(fake)
+    assert api.browse_file("audio") == "/picked/file.mp3"
+    assert calls[-1][0] == "open"
+    assert any("*.mp3" in t for t in calls[-1][1]["file_types"])
+    assert api.browse_file("osu") == "/picked/file.mp3"
+    assert any("*.osu" in t for t in calls[-1][1]["file_types"])
+    assert api.browse_folder() == "/picked/file.mp3"
+    assert calls[-1][0] == "folder"
+    assert api.save_file("cfg.json") == "/picked/file.mp3"
+    assert calls[-1] == ("save", {"save_filename": "cfg.json"})

@@ -209,3 +209,39 @@ def test_pump_captures_result_path(tmp_path, monkeypatch):
         _time.sleep(0.1)
     assert state.result_path is not None
     assert str(state.result_path) == "/tmp/some_result.osu"
+
+
+def test_browse_lists_filtered_directory(server, tmp_path):
+    base, _ = server
+    root = tmp_path / "songs"
+    (root / "sub").mkdir(parents=True)
+    (root / "track.mp3").touch()
+    (root / "map.osu").touch()
+    (root / "notes.txt").touch()
+    (root / ".hidden").touch()
+
+    j = get(base, f"/browse?dir={root}&filter=audio")
+    assert j["dir"] == str(root)
+    assert j["parent"] == str(tmp_path)
+    assert j["dirs"] == ["sub"]
+    assert j["files"] == ["track.mp3"]  # .osu/.txt filtered, dotfile skipped
+
+    j = get(base, f"/browse?dir={root}&filter=osu")
+    assert j["files"] == ["map.osu"]
+
+    j = get(base, f"/browse?dir={root}&filter=dir")
+    assert j["files"] == []  # folder picking: directories only
+
+    j = get(base, f"/browse?dir={root}&filter=all")
+    assert j["files"] == ["map.osu", "notes.txt", "track.mp3"]
+
+
+def test_browse_rejects_missing_directory(server, tmp_path):
+    base, _ = server
+    assert status_of(base, f"/browse?dir={tmp_path}/nope") == 400
+
+
+def test_browse_defaults_to_home(server):
+    base, _ = server
+    from pathlib import Path
+    assert get(base, "/browse")["dir"] == str(Path.home().resolve())
