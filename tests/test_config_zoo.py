@@ -72,3 +72,20 @@ def test_backbone_families_cover_the_zoo():
                    ("whisper", "ropewhisper", "nwhisper", "t5")), model_name
         families.add(model_name.split("-")[0])
     assert families == {"whisper", "ropewhisper", "nwhisper"}
+
+
+def test_beatheritage_v1_pins_reference_quality_controls():
+    """The flagship preset carries the reference V1 QC/advanced set
+    (reference configs/inference/beatheritage_v1.yaml:28-40)."""
+    from beatheritage_tpu.config import InferenceConfig, load_config
+
+    cfg = load_config(InferenceConfig, "inference", "beatheritage_v1")
+    assert cfg.temperature == 0.85 and cfg.top_k == 50
+    assert cfg.repetition_penalty == 1.1
+    qc = cfg.quality_control
+    assert qc.min_distance_threshold == 20
+    assert qc.max_overlap_ratio == 0.15
+    assert qc.enable_auto_correction and qc.enable_flow_optimization
+    adv = cfg.advanced_features
+    assert adv.enable_pattern_variety and adv.enable_style_preservation
+    assert adv.enable_context_aware_generation and adv.enable_difficulty_scaling
