@@ -256,6 +256,10 @@ class TrainConfig:
     # chunked cross-entropy: compute lm_head+loss per token chunk of this
     # size under remat so (B, T, V) logits never materialize; 0 = off
     loss_chunk_size: int = 0
+    # exit cleanly (checkpoint + final save) once this much wall-clock has
+    # elapsed; 0 = no limit. A clean exit matters on shared single-chip
+    # hosts where killing a TPU process wedges the device claim.
+    max_seconds: float = 0.0
     checkpoint_path: str = ""
     pretrained_path: str = ""
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -320,8 +320,16 @@ class Trainer:
         # scheduler+step together). One host fetch here; the loop itself
         # compares against the local counter to avoid a per-step device sync.
         start_step = int(self.state.step)
+        deadline = getattr(self.cfg, "max_seconds", 0.0) or 0.0
+        t_fit = time.time()
         for i, batch in enumerate(batches):
             if max_steps is not None and start_step + i >= max_steps:
+                break
+            if deadline and time.time() - t_fit > deadline:
+                print(f"max_seconds reached at step {int(self.state.step)}; "
+                      "checkpointing and exiting")
+                if self.checkpoint_dir:
+                    self.save_checkpoint()
                 break
             if prof_start is not None and i == prof_start:
                 import jax.profiler  # noqa: PLC0415

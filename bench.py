@@ -164,7 +164,7 @@ DECODE_BUDGET = 2048  # new tokens per window (representative density)
 # Measured scaling on v5e: 6w=1421 tok/s, 12w=1608, 24w=1747 — sub-linear
 # because KV-cache reads grow with batch; single-song latency numbers live
 # in docs/ROUND_NOTES.md.
-N_WINDOWS = 24
+N_WINDOWS = int(os.environ.get("BENCH_N_WINDOWS", "24"))
 
 
 def child() -> None:
