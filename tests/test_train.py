@@ -187,6 +187,21 @@ def test_trainer_fit_max_steps_is_global(setup):
     assert int(trainer.state.step) == 3
 
 
+def test_trainer_fit_max_seconds_deadline(setup, tmp_path):
+    """cfg.max_seconds bounds wall-clock: the loop checkpoints and exits
+    before consuming the remaining batches (the measurement runbook relies
+    on this for clean single-chip deadline exits)."""
+    import dataclasses
+    cfg, tok, dims, params = setup
+    cfg2 = dataclasses.replace(cfg, max_seconds=1e-9)
+    trainer = Trainer(cfg=cfg2, dims=dims, params=params, tokenizer=tok,
+                      checkpoint_dir=str(tmp_path / "ckpt"), log_every=1)
+    batch = make_batch(cfg2, tok, batch=8)
+    trainer.fit(iter([batch] * 50), max_steps=50)
+    assert int(trainer.state.step) == 0  # deadline hit before step 1
+    assert (tmp_path / "ckpt").exists()  # checkpointed on exit
+
+
 def test_tensor_parallel_matches_replicated(setup):
     """(data=4, model=2) mesh with Megatron-style param sharding must match
     the replicated single-device loss (TP allreduce correctness)."""
