@@ -127,6 +127,12 @@ phase calc_fid 2400 4200 \
     inference.output_path=/tmp/fid_out_r04
 cp /tmp/fid_out_r04/fid_report.json EVAL_r04.json 2>/dev/null
 
+# -- 8b. matched-sample-size FID floor for the generated dir ----------------
+phase fid_floor 600 1500 \
+  python scripts/fid_floor.py --config synth_classifier_tokens \
+    --ckpt "${CLF_CKPT}_best" --dataset /tmp/synth_mmrs_v5 \
+    --gen-dir /tmp/fid_out_r04 --out FID_FLOOR_r04.json
+
 # -- 9. DiT conditioning ablation (is the class vector used?) ---------------
 phase dit_cond 900 1800 \
   python scripts/eval_dit_conditioning.py \
@@ -135,7 +141,12 @@ phase dit_cond 900 1800 \
     --out EVAL_DIT_COND_r04.json
 
 # -- 10. MFU on the flagship train step (VERDICT item 7) --------------------
+# A/B the remat policy: default full remat vs 'dots' (save MXU outputs in
+# the backward — trades HBM for recompute FLOPs)
 phase mfu 900 1800 \
   python scripts/bench_train.py --config synth_flagship --batch 28 --steps 30
+phase mfu_dots 900 1800 \
+  python scripts/bench_train.py --config synth_flagship --batch 28 --steps 30 \
+    --override remat_policy=dots
 
 say "queue done ($(remaining)s before deadline); no TPU processes remain"
