@@ -102,7 +102,7 @@ phase classifier 1800 3600 \
     data.train_dataset_path=/tmp/synth_mmrs_v5 data.train_dataset_end=1120 \
     data.test_dataset_path=/tmp/synth_mmrs_v5 data.test_dataset_start=1120 \
     data.test_dataset_end=1200 \
-    optim.total_steps=20000 checkpoint_path="$CLF_CKPT"
+    optim.total_steps=8000 checkpoint_path="$CLF_CKPT"
 nice cp -r "${CLF_CKPT}_best" artifacts/synth_classifier_tokens_v5_best 2>/dev/null
 
 # -- 6. rcomplexion (rhythm-complexity metric; calc_fid input) ---------------
