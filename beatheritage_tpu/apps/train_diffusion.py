@@ -127,14 +127,24 @@ def main(argv=None) -> int:
     dataset = DiffusionDataset(cfg, tokenizer)
     batches = repeating_batch_iterator(lambda: dataset, cfg.optim.batch_size)
     key = jax.random.PRNGKey(cfg.seed + start_step)
+    # SIGTERM = stop-but-keep-the-work (the measurement queue's phase
+    # timeout TERMs us; checkpoint instead of losing progress)
+    import signal  # noqa: PLC0415
+    stop_requested = []
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: stop_requested.append(1))
+    except ValueError:
+        pass
     t_start = time.time()
     t0 = time.time()
     for i, batch in enumerate(batches):
         step_num = start_step + i + 1  # 1-based global step
         if step_num > cfg.optim.total_steps:
             break
-        if cfg.max_seconds and time.time() - t_start > cfg.max_seconds:
-            print(f"max_seconds reached at step {step_num - 1}; "
+        if stop_requested or (
+                cfg.max_seconds and time.time() - t_start > cfg.max_seconds):
+            why = "SIGTERM" if stop_requested else "max_seconds"
+            print(f"{why} at step {step_num - 1}; "
                   "checkpointing and exiting", flush=True)
             if cfg.checkpoint_path:
                 save_state(step_num - 1)

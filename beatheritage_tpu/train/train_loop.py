@@ -321,37 +321,53 @@ class Trainer:
         # compares against the local counter to avoid a per-step device sync.
         start_step = int(self.state.step)
         deadline = getattr(self.cfg, "max_seconds", 0.0) or 0.0
+        # SIGTERM = "stop now but keep the work": checkpoint before exiting
+        # (the measurement queue TERMs the trainer when its own deadline
+        # approaches; without this, up to checkpoint.every_steps of progress
+        # would be lost). Only installable from the main thread.
+        import signal  # noqa: PLC0415
+        stop_requested = []
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: stop_requested.append(1))
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            prev_handler = None
         t_fit = time.time()
-        for i, batch in enumerate(batches):
-            if max_steps is not None and start_step + i >= max_steps:
-                break
-            if deadline and time.time() - t_fit > deadline:
-                print(f"max_seconds reached at step {int(self.state.step)}; "
-                      "checkpointing and exiting")
-                if self.checkpoint_dir:
-                    self.save_checkpoint()
-                break
-            if prof_start is not None and i == prof_start:
-                import jax.profiler  # noqa: PLC0415
-                jax.profiler.start_trace("/tmp/bh_profile")
-            if prof_stop is not None and i == prof_stop:
-                import jax.profiler  # noqa: PLC0415
-                jax.profiler.stop_trace()
-                print("profiler trace written to /tmp/bh_profile")
-                if prof.early_stop:
+        try:
+            for i, batch in enumerate(batches):
+                if max_steps is not None and start_step + i >= max_steps:
                     break
-            self.state, metrics = self.train_step(self.state, batch)
-            if (i + 1) % self.log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                host["lr"] = float(self.schedule(int(self.state.step)))
-                host["steps_per_sec"] = self.log_every / (time.time() - t0)
-                t0 = time.time()
-                last_metrics = host
-                if self.on_metrics is not None:
-                    self.on_metrics(int(self.state.step), host)
-            if (self.checkpoint_dir
-                    and int(self.state.step) % self.cfg.checkpoint.every_steps == 0):
-                self.save_checkpoint()
+                if stop_requested or (deadline and time.time() - t_fit > deadline):
+                    why = "SIGTERM" if stop_requested else "max_seconds"
+                    print(f"{why} at step {int(self.state.step)}; "
+                          "checkpointing and exiting")
+                    if self.checkpoint_dir:
+                        self.save_checkpoint()
+                    break
+                if prof_start is not None and i == prof_start:
+                    import jax.profiler  # noqa: PLC0415
+                    jax.profiler.start_trace("/tmp/bh_profile")
+                if prof_stop is not None and i == prof_stop:
+                    import jax.profiler  # noqa: PLC0415
+                    jax.profiler.stop_trace()
+                    print("profiler trace written to /tmp/bh_profile")
+                    if prof.early_stop:
+                        break
+                self.state, metrics = self.train_step(self.state, batch)
+                if (i + 1) % self.log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["lr"] = float(self.schedule(int(self.state.step)))
+                    host["steps_per_sec"] = self.log_every / (time.time() - t0)
+                    t0 = time.time()
+                    last_metrics = host
+                    if self.on_metrics is not None:
+                        self.on_metrics(int(self.state.step), host)
+                if (self.checkpoint_dir
+                        and int(self.state.step) % self.cfg.checkpoint.every_steps == 0):
+                    self.save_checkpoint()
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return last_metrics
 
     def save_checkpoint(self):

@@ -202,6 +202,31 @@ def test_trainer_fit_max_seconds_deadline(setup, tmp_path):
     assert (tmp_path / "ckpt").exists()  # checkpointed on exit
 
 
+def test_trainer_fit_sigterm_checkpoints_and_exits(setup, tmp_path):
+    """SIGTERM mid-fit = stop-but-keep-the-work: checkpoint, exit the loop
+    cleanly, and restore the previous signal handler (the measurement queue
+    TERMs the trainer at its deadline; before this, TERM killed the process
+    losing up to checkpoint.every_steps of progress)."""
+    import os
+    import signal
+    cfg, tok, dims, params = setup
+    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok,
+                      checkpoint_dir=str(tmp_path / "ckpt"), log_every=1)
+    batch = make_batch(cfg, tok, batch=8)
+    prev = signal.getsignal(signal.SIGTERM)
+
+    def batches():
+        yield batch  # step 1 trains
+        os.kill(os.getpid(), signal.SIGTERM)  # handled at next loop check
+        yield batch
+        yield batch
+
+    trainer.fit(batches(), max_steps=50)
+    assert int(trainer.state.step) == 1  # stopped after the TERM, not at 3
+    assert (tmp_path / "ckpt").exists()  # work kept
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+
+
 def test_tensor_parallel_matches_replicated(setup):
     """(data=4, model=2) mesh with Megatron-style param sharding must match
     the replicated single-device loss (TP allreduce correctness)."""
