@@ -4,8 +4,9 @@
 # The sandbox restores /root/repo from git on every VM restart: /tmp and
 # even untracked repo files (artifacts/ was gitignored) are wiped. Round 4
 # lost the flagship checkpoint to this twice. The only durable storage is a
-# git COMMIT, so this script rsyncs a checkpoint into artifacts/<name> and
+# git COMMIT, so this script copies a checkpoint into artifacts/<name> and
 # force-adds it past the gitignore (artifacts/ stays ignored for scratch).
+# (cp, not rsync: rsync is not installed on this host.)
 #
 # Usage: scripts/mirror_durable.sh /tmp/flagship_ckpt flagship_ckpt
 set -eu
@@ -14,7 +15,8 @@ SRC=$1
 NAME=$2
 [ -d "$SRC" ] || { echo "mirror_durable: $SRC missing, skip"; exit 0; }
 mkdir -p artifacts
-nice rsync -a --delete "$SRC/" "artifacts/$NAME/"
+rm -rf "artifacts/$NAME"
+nice cp -a "$SRC/." "artifacts/$NAME/"
 nice git add -f "artifacts/$NAME"
 if git diff --cached --quiet; then
   echo "mirror_durable: $NAME unchanged"
