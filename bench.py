@@ -60,13 +60,26 @@ def _relay_up(timeout: float = 2.0) -> bool:
     return False
 
 
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "ResourceExhausted", "Out of memory",
+                "out of memory", "OOM")
+
+
+def _next_n_windows(n_windows: int, stderr: str) -> int:
+    """Degrade the window batch after an attempt that died to device OOM
+    (e.g. an HBM regression or a bigger default): halve, floor at 6 (the
+    single-song parallel-mode batch). Non-OOM failures keep the batch."""
+    if any(m in stderr for m in _OOM_MARKERS):
+        return max(6, n_windows // 2)
+    return n_windows
+
+
 def _diagnostic(reason: str, detail: dict) -> None:
     detail = dict(detail)
     detail["error"] = reason
     # context for the record: the last in-round measurement on this config
     detail.setdefault(
         "last_in_round_measurement",
-        {"file": "BENCH_PREVIEW_r03.json", "value": 0.783,
+        {"file": "BENCH_PREVIEW_r04.json", "value": 0.7843,
          "unit": "audio-min/s"})
     print(json.dumps({
         "metric": "audio_min_mapped_per_sec_per_chip",
@@ -107,7 +120,9 @@ def main() -> int:
         env["JAX_PLATFORMS"] = "cpu"
         env["BENCH_PLATFORM_NOTE"] = "cpu-smoke"
 
+    n_windows = int(env.get("BENCH_N_WINDOWS", "24"))
     for attempt in range(1, max_attempts + 1):
+        env["BENCH_N_WINDOWS"] = str(n_windows)
         started = time.monotonic()
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"],
@@ -144,7 +159,12 @@ def main() -> int:
             diags["attempts"].append({
                 "attempt": attempt, "outcome": f"rc={proc.returncode}",
                 "seconds": round(time.monotonic() - started, 1),
+                "n_windows": n_windows,
                 "stderr_tail": tail})
+            # Device OOM (an HBM regression or an oversized default):
+            # degrade the window batch for the next attempt instead of
+            # failing the same way three times.
+            n_windows = _next_n_windows(n_windows, err or out or "")
             # Backend init failures are usually the relay flapping; give it
             # a moment before retrying.
             time.sleep(min(30.0 * attempt, 90.0))

@@ -67,3 +67,20 @@ def _accept(srv):
         return srv.accept()
     except OSError:
         return None
+
+
+def test_oom_failure_degrades_window_batch():
+    """A device-OOM child failure halves N_WINDOWS for the next attempt
+    (floor 6); non-OOM failures keep the batch."""
+    sys.path.insert(0, str(Path(BENCH).parent))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    oom = "jaxlib.xla_extension.XlaRuntimeError: RESOURCE_EXHAUSTED: ..."
+    assert bench._next_n_windows(24, oom) == 12
+    assert bench._next_n_windows(12, oom) == 6
+    assert bench._next_n_windows(6, oom) == 6
+    assert bench._next_n_windows(8, "Out of memory allocating 1g") == 6
+    assert bench._next_n_windows(24, "Unable to initialize backend") == 24
+    assert bench._next_n_windows(24, "") == 24
