@@ -42,36 +42,59 @@ def main() -> int:
     cfg = load_config(TrainConfig, "train", ns.config
                       if ns.config != "beatheritage_v1" else "beatheritage_v1",
                       overrides=ns.override)
-    cfg.optim.batch_size = ns.batch
     cfg.optim.grad_acc = 1
     tok = Tokenizer(cfg)
     dims = ModelDims.from_config(cfg, tok)
     params = init_params(jax.random.PRNGKey(0), dims)
     n_params = param_count(params)
 
-    trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
-
-    rng = np.random.RandomState(0)
-    src = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
-    batch = {
-        "frames": rng.randn(ns.batch, src).astype(np.float32),
-        "decoder_input_ids": rng.randint(
-            3, tok.vocab_size_in, (ns.batch, cfg.data.tgt_seq_len)).astype(np.int32),
-        "labels": rng.randint(
-            0, tok.vocab_size_out, (ns.batch, cfg.data.tgt_seq_len)).astype(np.int32),
-        "decoder_attention_mask": np.ones(
-            (ns.batch, cfg.data.tgt_seq_len), np.int32),
-    }
-
-    t0 = time.time()
-    trainer.state, metrics = trainer.train_step(trainer.state, batch)  # compile
-    _ = float(metrics["loss"])
-    print(f"compile: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(ns.steps):
+    def run_at_batch(b):
+        """Compile + time the step at micro-batch b. Raises on device OOM."""
+        cfg.optim.batch_size = b
+        trainer = Trainer(cfg=cfg, dims=dims, params=params, tokenizer=tok)
+        rng = np.random.RandomState(0)
+        src = (cfg.data.src_seq_len - 1) * cfg.data.hop_length
+        batch = {
+            "frames": rng.randn(b, src).astype(np.float32),
+            "decoder_input_ids": rng.randint(
+                3, tok.vocab_size_in,
+                (b, cfg.data.tgt_seq_len)).astype(np.int32),
+            "labels": rng.randint(
+                0, tok.vocab_size_out,
+                (b, cfg.data.tgt_seq_len)).astype(np.int32),
+            "decoder_attention_mask": np.ones(
+                (b, cfg.data.tgt_seq_len), np.int32),
+        }
+        t0 = time.time()
         trainer.state, metrics = trainer.train_step(trainer.state, batch)
-    _ = float(metrics["loss"])  # sync
-    dt = (time.time() - t0) / ns.steps
+        _ = float(metrics["loss"])
+        print(f"compile: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for _ in range(ns.steps):
+            trainer.state, metrics = trainer.train_step(trainer.state, batch)
+        _ = float(metrics["loss"])  # sync
+        return (time.time() - t0) / ns.steps
+
+    def is_oom(exc) -> bool:
+        msg = str(exc)
+        return any(m in msg for m in (
+            "RESOURCE_EXHAUSTED", "ResourceExhausted", "Out of memory"))
+
+    # OOM ladder: a policy override (e.g. remat_policy=dots) can push the
+    # requested batch past the HBM envelope; step down instead of reporting
+    # nothing (throughput tok/s stays comparable across batch sizes).
+    b = ns.batch
+    while True:
+        try:
+            dt = run_at_batch(b)
+            break
+        except Exception as exc:  # noqa: BLE001 — XlaRuntimeError lacks a stable type
+            if not is_oom(exc) or b <= 4:
+                raise
+            nxt = max(4, b - 4)
+            print(f"batch {b} OOM ({str(exc)[:140]}...); retrying at {nxt}")
+            b = nxt
+    ns.batch = b
 
     tokens = ns.batch * cfg.data.tgt_seq_len
     # FLOPs model: matmul params x the positions they actually process
