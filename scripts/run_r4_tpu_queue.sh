@@ -167,6 +167,19 @@ phase mfu_dots 900 1800 \
   python scripts/bench_train.py --config synth_flagship --batch 28 --steps 30 \
     --override remat_policy=dots
 
+# -- 10b. decode-throughput probes (only if budget remains): int8 KV cache
+# and a 32-window batch — each compiles a fresh program (~12 min remote)
+# and, if faster, becomes the new bench.py default (the probe itself warms
+# the AOT cache the driver's round-end bench would then hit)
+phase bench_kvq 1500 2700 env BENCH_KV_QUANT=1 BENCH_MAX_ATTEMPTS=1 \
+  python bench.py
+[ -s /tmp/r4q_bench_kvq.log ] && grep -m1 '"metric"' \
+  /tmp/r4q_bench_kvq.log > BENCH_PROBE_KVQ_r04.json 2>/dev/null
+phase bench_n32 1500 2700 env BENCH_N_WINDOWS=32 BENCH_MAX_ATTEMPTS=1 \
+  python bench.py
+[ -s /tmp/r4q_bench_n32.log ] && grep -m1 '"metric"' \
+  /tmp/r4q_bench_n32.log > BENCH_PROBE_N32_r04.json 2>/dev/null
+
 # -- 11. commit every result JSON (a VM restart wipes uncommitted files) ----
 git add -A ./*_r04.json ./*_r04*.json 2>/dev/null
 git diff --cached --quiet \
