@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
+from pathlib import Path
 from typing import Any, Callable, Iterator, NamedTuple, Optional
 
 import jax
@@ -362,6 +363,17 @@ class Trainer:
                     last_metrics = host
                     if self.on_metrics is not None:
                         self.on_metrics(int(self.state.step), host)
+                    if self.checkpoint_dir:
+                        # liveness marker for babysitters: the float() above
+                        # synced the device, so a stale mtime means steps are
+                        # genuinely stalled (e.g. a dropped tunnel connection
+                        # re-staging for ~45 min), not just unlogged
+                        try:
+                            d = Path(self.checkpoint_dir)
+                            d.mkdir(parents=True, exist_ok=True)
+                            (d / ".heartbeat").touch()
+                        except OSError:
+                            pass
                 if (self.checkpoint_dir
                         and int(self.state.step) % self.cfg.checkpoint.every_steps == 0):
                     self.save_checkpoint()

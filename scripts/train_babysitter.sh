@@ -39,6 +39,15 @@ mirror() {
 while kill -0 "$(cat "$PIDFILE" 2>/dev/null)" 2>/dev/null; do
   prune
   now=$(date +%s)
+  # stall detector: the trainer touches .heartbeat each log interval
+  # (train_loop.fit); a stale mtime with a live pid = wedged device call
+  # (seen live: a dropped tunnel connection stalled steps for >1 h while
+  # the process stayed alive)
+  hb="$CKPT/.heartbeat"
+  if [ -f "$hb" ]; then
+    age=$(( now - $(stat -c %Y "$hb") ))
+    [ "$age" -gt 900 ] && echo "[babysitter] WARNING: no training step for ${age}s (pid alive — likely a wedged/reconnecting tunnel, do NOT assume dead)"
+  fi
   if [ $((now - last_mirror)) -ge "$MIRROR_EVERY" ]; then
     mirror && last_mirror=$now
   fi

@@ -225,6 +225,9 @@ def test_trainer_fit_sigterm_checkpoints_and_exits(setup, tmp_path):
     assert int(trainer.state.step) == 1  # stopped after the TERM, not at 3
     assert (tmp_path / "ckpt").exists()  # work kept
     assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+    # liveness marker: fit touches .heartbeat each log interval so a
+    # babysitter can tell a stalled device call from an unlogged run
+    assert (tmp_path / "ckpt" / ".heartbeat").exists()
 
 
 def test_tensor_parallel_matches_replicated(setup):
