@@ -66,11 +66,15 @@ ls "$FLAGSHIP_CKPT" 2>/dev/null | tail -3
 mirror_ckpt() {  # <ckpt_dir> <name>
   local ckpt=$1 name=$2 latest stage
   [ -d "$ckpt" ] || { say "mirror: $ckpt missing"; return 0; }
-  latest=$(ls -d "$ckpt"/state_* 2>/dev/null | sort -t_ -k2 -n | tail -1)
+  # sort by the basename's step number — sorting full paths on -t_ -k2
+  # picks a non-numeric field (the path's own underscores) and degrades to
+  # lexicographic order (state_5000 > state_29600); bit us on the DiT mirror
+  latest=$(ls "$ckpt" 2>/dev/null | grep '^state_' | sort -t_ -k2 -n | tail -1)
+  [ -n "$latest" ] && latest="$ckpt/$latest"
   stage=/tmp/mirror_stage_$name
   rm -rf "$stage"; mkdir -p "$stage"
   [ -n "$latest" ] && nice cp -r "$latest" "$stage/"
-  for f in params tokenizer.json config.yaml; do
+  for f in params tokenizer.json diffusion_tokenizer.json config.yaml; do
     [ -e "$ckpt/$f" ] && nice cp -r "$ckpt/$f" "$stage/" 2>/dev/null
   done
   bash scripts/mirror_durable.sh "$stage" "$name"
