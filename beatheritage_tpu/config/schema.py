@@ -444,6 +444,11 @@ class InferenceConfig:
     timer_bpm_threshold: float = 0.7
     timer_cfg_scale: float = 1.0
     timer_iterations: int = 20
+    # decode-program length cap for the timing-only voting passes: timing
+    # streams are <=~100 tokens/window, so capping the KV cache / prefill at
+    # 256 (vs tgt_seq_len 2048) cuts the per-step beam cache reorder and the
+    # fixed_prompt_pad prefill ~8x (0 = uncapped)
+    timer_max_len: int = 256
     use_server: bool = False
     max_batch_size: int = 16
     resnap_events: bool = True

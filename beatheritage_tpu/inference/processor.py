@@ -168,6 +168,11 @@ class Processor:
                 self.mesh = build_mesh(data=n, model=1)
 
         self.tgt_seq_len = d.tgt_seq_len
+        # optional decode-program length cap (set by the super-timing
+        # generator, timer_max_len): timing-only decodes emit <=~100 tokens,
+        # so a tgt_seq_len-sized KV cache pays ~8x the HBM traffic per beam
+        # reorder step — and fixed_prompt_pad a tgt/2 prefill — for nothing
+        self.max_len_override: Optional[int] = None
         self.frame_seq_len = d.src_seq_len - 1
         self.frame_size = args.train.model.spectrogram.hop_length
         self.sample_rate = args.train.model.spectrogram.sample_rate
@@ -301,11 +306,12 @@ class Processor:
             return {}
         aot_dir = self._aot_dir()
         max_windows = int(max_windows or self.max_batch_size or 16)
+        max_len = int(self.max_len_override or self.tgt_seq_len)
         # pipeline.generate builds a fresh Processor per song, so warmup runs
         # per call — dedupe at process level (compilation state is process-
         # global too; param VALUES don't affect program identity)
         done_key = (aot_dir, max_windows, self.samples_per_sequence,
-                    self.tgt_seq_len, self.cfg_scale > 1, str(self.dtype),
+                    max_len, self.cfg_scale > 1, str(self.dtype),
                     repr(sorted(self.settings_base.items())),
                     self.num_beams, getattr(self.args, "speculative_k", 0),
                     getattr(self.args, "decode_unroll_layers", False),
@@ -322,10 +328,10 @@ class Processor:
             b = bb + 1
 
         # fixed prompt-pad bucket (mirrors _run_engine exactly)
-        p = min(_bucket(2), self.tgt_seq_len)
+        p = min(_bucket(2), max_len)
         if self.fixed_prompt_pad:
-            p = max(p, self.tgt_seq_len // 2)
-        p = max(min(p, self.tgt_seq_len - 64), 16)
+            p = max(p, max_len // 2)
+        p = max(min(p, max_len - 64), 16)
         cfg_on = self.cfg_scale > 1
 
         report = {}
@@ -361,7 +367,7 @@ class Processor:
                         beam_generate, aot_dir,
                         self.params, self.dims, settings, self.tables,
                         enc_hidden, prompt, mask, eos_mask,
-                        max_len=self.tgt_seq_len,
+                        max_len=max_len,
                         num_beams=self.num_beams, dtype=self.dtype,
                         kv_quant=kv_quant)
                 elif getattr(self.args, "speculative_k", 0) > 0:
@@ -370,7 +376,7 @@ class Processor:
                         generate_speculative, aot_dir,
                         self.params, self.dims, settings, self.tables,
                         enc_hidden, prompt, mask, eos_mask, self._next_key(),
-                        max_len=self.tgt_seq_len,
+                        max_len=max_len,
                         draft_k=int(self.args.speculative_k),
                         dtype=self.dtype, lookback_mask=lookback_mask)
                 else:
@@ -378,7 +384,7 @@ class Processor:
                         engine_generate, aot_dir,
                         self.params, self.dims, settings, self.tables,
                         enc_hidden, prompt, mask, eos_mask, self._next_key(),
-                        max_len=self.tgt_seq_len, dtype=self.dtype,
+                        max_len=max_len, dtype=self.dtype,
                         lookback_mask=lookback_mask,
                         unroll_layers=getattr(self.args,
                                               "decode_unroll_layers", False),
@@ -431,15 +437,16 @@ class Processor:
         """One engine invocation over a window batch. Returns the generated
         (post-prompt) token arrays per row, EOS trimmed by the caller."""
         b, p_raw = cond_prompt.shape
-        p = min(_bucket(p_raw + 1), self.tgt_seq_len)
+        max_len = int(self.max_len_override or self.tgt_seq_len)
+        p = min(_bucket(p_raw + 1), max_len)
         if self.fixed_prompt_pad:
             # one prefill shape for all windows -> one decode compile
-            p = max(p, self.tgt_seq_len // 2)
+            p = max(p, max_len // 2)
         # always reserve decode budget: a prompt whose bucket reaches
-        # tgt_seq_len would otherwise generate nothing (the reference keeps
+        # max_len would otherwise generate nothing (the reference keeps
         # the raw prompt length and generates tgt - p_raw tokens); drop the
         # oldest context instead
-        p = max(min(p, self.tgt_seq_len - 64), 16)
+        p = max(min(p, max_len - 64), 16)
         cfg_on = self.cfg_scale > 1 and uncond_prompt is not None
 
         if self.mesh is not None:
@@ -513,7 +520,7 @@ class Processor:
                 beam_generate, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask,
-                max_len=self.tgt_seq_len, num_beams=self.num_beams,
+                max_len=max_len, num_beams=self.num_beams,
                 dtype=self.dtype,
                 kv_quant=getattr(self.args, "decode_kv_quant", False))
         elif getattr(self.args, "speculative_k", 0) > 0:
@@ -522,7 +529,7 @@ class Processor:
                 generate_speculative, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask, self._next_key(),
-                max_len=self.tgt_seq_len,
+                max_len=max_len,
                 draft_k=int(self.args.speculative_k), dtype=self.dtype,
                 lookback_mask=lookback_mask)
         else:
@@ -530,7 +537,7 @@ class Processor:
                 engine_generate, aot_dir,
                 self.params, self.dims, settings, self.tables, enc_hidden,
                 prompt_j, mask_j, eos_mask, self._next_key(),
-                max_len=self.tgt_seq_len, dtype=self.dtype,
+                max_len=max_len, dtype=self.dtype,
                 lookback_mask=lookback_mask,
                 unroll_layers=getattr(self.args, "decode_unroll_layers",
                                       False),

@@ -38,6 +38,11 @@ class SuperTimingGenerator:
         self.processor.settings_base = dict(
             self.processor.settings_base,
             do_sample=False, top_p=1.0, top_k=50, temperature=1.0)
+        cap = int(getattr(args, "timer_max_len", 0) or 0)
+        if cap:
+            # timing-only decodes are short; a capped program batches the
+            # same windows with an 8x smaller KV cache + prefill
+            self.processor.max_len_override = min(cap, self.processor.tgt_seq_len)
         if getattr(args, "warmup_windows", 0):
             # warm AFTER the beam/greedy overrides so the precompiled
             # programs match the timer's actual engine branch
@@ -81,11 +86,17 @@ class SuperTimingGenerator:
             jobs.append({"sequences": sequences,
                          "generation_config": generation_config})
             offsets.append(audio_offset)
+        import os
+        import time as _time
+        profile = bool(os.environ.get("BH_TIMER_PROFILE"))
+        t0 = _time.monotonic()
         results = self.processor.generate_many(
             jobs=jobs, in_context=[ContextType.NONE],
             out_context=[ContextType.MAP] if self.args.train.data.add_timing
             else [ContextType.TIMING],
             verbose=verbose)
+        t_decode = _time.monotonic() - t0
+        t0 = _time.monotonic()
         for audio_offset, result in zip(offsets, results):
             events, _ = result[0]
             self._accumulate_votes(events, audio_offset, num_ms, beats_hist,
@@ -121,6 +132,14 @@ class SuperTimingGenerator:
                                           timing_points_hist)
         self._repair_meter(beat_times, beat_types, measures_hist,
                            timing_points_hist, measure_counts)
+        if profile:
+            import sys
+            n_win = sum(len(j["sequences"][0]) for j in jobs)
+            print(f"[timer-profile] decode={t_decode:.2f}s "
+                  f"host={_time.monotonic() - t0:.2f}s windows={n_win} "
+                  f"passes={self.iterations} "
+                  f"max_len={self.processor.max_len_override or self.processor.tgt_seq_len}",
+                  file=sys.stderr)
         return self._to_events(beat_times, beat_types)
 
     # -- vote accumulation -------------------------------------------------------

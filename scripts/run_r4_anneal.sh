@@ -63,7 +63,8 @@ fi
 sleep 10
 
 # -- 2. anneal: cosine floor reachable within the budget --------------------
-EVAL_BUDGET=2300   # calc_fid ~700s + timing ~850s + positions ~300s + slack
+# calc_fid ~700s + capped-timer compiles+run ~900s + positions ~300s + slack
+EVAL_BUDGET=2700
 budget=$(( $(remaining) - EVAL_BUDGET - 240 ))
 if [ "$budget" -lt 900 ]; then
   say "no anneal budget left (${budget}s) — skipping straight to evals"
@@ -104,8 +105,11 @@ phase calc_fid 700 \
 [ -s /tmp/fid_out_r04b/fid_report.json ] \
   && cp /tmp/fid_out_r04b/fid_report.json EVAL_r04.json
 
-phase timing 850 \
-  python scripts/eval_timing.py --config synth_flagship \
+# first capped-timer run (timer_max_len=256): pays ~4-8 min of fresh beam
+# compiles on the first song; p50 comes from the warm songs
+phase timing 900 \
+  env BH_TIMER_PROFILE=1 python scripts/eval_timing.py \
+    --config synth_flagship \
     --ckpt "$CKPT" --songs 6 --out EVAL_TIMING_r04.json
 
 phase positions 300 \
