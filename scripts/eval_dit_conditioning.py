@@ -88,8 +88,11 @@ def main() -> int:
         emb_d = sinusoidal_embedding(batch["d"], 128)
         return jnp.concatenate([emb_o, emb_d, batch["k"]], axis=-1)
 
+    # params MUST be a jit argument: closing over them bakes the full DiT
+    # as HLO constants, and the resulting program body exceeds the axon
+    # relay's remote_compile request limit (HTTP 413, round-4 queue)
     @jax.jit
-    def mse_at(batch, y, ts, key):
+    def mse_at(params, batch, y, ts, key):
         c = make_context(batch)
         out = training_losses(
             schedule, lambda x, t: dit_forward(params, dims, x, t, c, y),
@@ -112,9 +115,9 @@ def main() -> int:
             ts = np.full(len(y_true), t, np.int32)
             key = jax.random.PRNGKey(1000 * i + t)  # paired noise
             per_t[t]["cond"].append(float(np.mean(np.asarray(
-                mse_at(batch, y_true, ts, key)))))
+                mse_at(params, batch, y_true, ts, key)))))
             per_t[t]["null"].append(float(np.mean(np.asarray(
-                mse_at(batch, y_unk, ts, key)))))
+                mse_at(params, batch, y_unk, ts, key)))))
         n += len(y_true)
 
     detail = {}
