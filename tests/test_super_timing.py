@@ -84,3 +84,28 @@ def test_generate_with_model_smoke(tmp_path):
     for e in events:
         assert e.type in (EventType.BEAT, EventType.MEASURE,
                           EventType.TIMING_POINT, EventType.TIME_SHIFT)
+
+
+def test_timer_max_len_caps_decode_program(tmp_path):
+    """timer_max_len < tgt_seq_len must flow into the processor's
+    max_len_override (clamped to tgt_seq_len) and the capped program must
+    still produce the (events, times) contract end-to-end."""
+    args = load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "timer_iterations=2", "seed=0", "max_batch_size=4",
+        "timer_max_len=64",
+    ])
+    from beatheritage_tpu.inference.pipeline import load_model, load_tokenizer
+    tok = load_tokenizer(args)
+    params, _ = load_model(args, tok)
+    stg = SuperTimingGenerator(args, params, tok)
+    assert stg.processor.max_len_override == 64
+    sr = 16000
+    audio = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    events, times = stg.generate(audio, GenerationConfig(), verbose=False)
+    assert len(events) == len(times)
+    # over-large caps clamp to tgt_seq_len instead of growing the program
+    args2 = load_config(InferenceConfig, "inference", "tiny", overrides=[
+        "seed=0", "timer_max_len=99999",
+    ])
+    stg2 = SuperTimingGenerator(args2, params, tok)
+    assert stg2.processor.max_len_override == args2.train.data.tgt_seq_len
