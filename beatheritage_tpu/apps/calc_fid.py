@@ -119,7 +119,8 @@ def _make_feature_fn(args, tokenizer):
         decoder_layers=cfg.model.arch.decoder_layers,
         n_mels=cfg.model.spectrogram.n_mels, vocab_size=tokenizer.vocab_size_in,
         num_classes=max(tokenizer.num_mapper_classes + 1, 2))
-    ckpt = Path(args.classifier_ckpt)
+    from ..train.checkpoints import resolve_ckpt_dir  # noqa: PLC0415
+    ckpt = resolve_ckpt_dir(args.classifier_ckpt)
     if ckpt.is_dir() and (ckpt / "params").exists():
         params = restore_params(ckpt)
     else:

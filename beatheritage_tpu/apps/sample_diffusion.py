@@ -55,7 +55,8 @@ def main(argv=None) -> int:
     # inference.py:516 restores the pickled tokenizer with the model)
     from ..diffusion.tokenizer import DiffusionTokenizer  # noqa: PLC0415
     diff_tok = None
-    tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+    from ..train.checkpoints import resolve_ckpt_dir  # noqa: PLC0415
+    tok_file = resolve_ckpt_dir(args.diff_ckpt) / "diffusion_tokenizer.json"
     if tok_file.is_file():
         diff_tok = DiffusionTokenizer.from_pretrained(tok_file)
     pipeline = DiffusionPipeline(args, diff_params, tokenizer=diff_tok,

@@ -74,7 +74,8 @@ class DiffusionPipeline:
         if tokenizer is None and args.diff_ckpt:
             # prefer the table saved beside the checkpoint: class_size must
             # match the trained params, not whatever the live config says
-            tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+            from ..train.checkpoints import resolve_ckpt_dir  # noqa: PLC0415
+            tok_file = resolve_ckpt_dir(args.diff_ckpt) / "diffusion_tokenizer.json"
             if tok_file.exists():
                 tokenizer = DiffusionTokenizer.from_pretrained(tok_file)
         self.tokenizer = tokenizer or DiffusionTokenizer(args.diffusion)

@@ -26,8 +26,15 @@ from .preprocessor import Preprocessor
 from .processor import GenerationConfig, Processor
 
 
+def _resolve(path):
+    """Checkpoint path with durable-artifact-mirror fallback (the /tmp
+    scratch copies do not survive VM restarts)."""
+    from ..train.checkpoints import resolve_ckpt_dir  # noqa: PLC0415
+    return resolve_ckpt_dir(path)
+
+
 def load_tokenizer(args: InferenceConfig) -> Tokenizer:
-    path = Path(args.model_path) if args.model_path else None
+    path = _resolve(args.model_path) if args.model_path else None
     if path is not None and (path / "tokenizer.json").is_file():
         return Tokenizer.from_pretrained(path)
     return Tokenizer(args.train)
@@ -38,8 +45,10 @@ def load_model(args: InferenceConfig, tokenizer: Tokenizer):
     when no checkpoint is given (useful for pipeline testing before
     training)."""
     dims = ModelDims.from_config(args.train, tokenizer)
-    path = Path(args.model_path) if args.model_path else None
-    if path is not None and path.is_dir() and (path / "params").exists():
+    path = _resolve(args.model_path) if args.model_path else None
+    if path is not None and path.is_dir() and (
+            (path / "params").exists()
+            or any(p.name.startswith("state_") for p in path.iterdir())):
         from ..train.checkpoints import restore_params  # noqa: PLC0415
         return restore_params(path, dims), dims
     if path is not None and (path.is_file() or (path.is_dir() and any(
@@ -74,8 +83,10 @@ def load_diffusion_model(args: InferenceConfig):
     from ..train.checkpoints import restore_params  # noqa: PLC0415
 
     def _restore(ckpt):
-        p = Path(ckpt) if ckpt else None
-        if p is not None and p.is_dir() and (p / "params").exists():
+        p = _resolve(ckpt) if ckpt else None
+        if p is not None and p.is_dir() and (
+                (p / "params").exists()
+                or any(q.name.startswith("state_") for q in p.iterdir())):
             tree = restore_params(p)
             # the DiT trainer checkpoints {'params', 'ema'}; sample with the
             # EMA weights like the reference (osu_diffusion train.py:32
@@ -261,7 +272,7 @@ def generate(args: InferenceConfig, *, audio_path=None, beatmap_path=None,
                 # restores the pickled tokenizer); without them the class
                 # vector is sized for empty tables and mismatches the params
                 from ..diffusion.tokenizer import DiffusionTokenizer  # noqa: PLC0415
-                tok_file = Path(args.diff_ckpt) / "diffusion_tokenizer.json"
+                tok_file = _resolve(args.diff_ckpt) / "diffusion_tokenizer.json"
                 if tok_file.is_file():
                     diff_tokenizer = DiffusionTokenizer.from_pretrained(
                         tok_file)

@@ -16,6 +16,34 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def resolve_ckpt_dir(directory) -> Path:
+    """Resolve a configured checkpoint path against the durable artifact
+    mirror.
+
+    Checkpoints train into scratch space (/tmp) which does not survive VM
+    restarts; `scripts/mirror_durable.sh` mirrors them into the repo's
+    `artifacts/` directory. When the configured path is missing but an
+    artifact mirror with the same basename exists, use the mirror — so
+    shipped configs (e.g. configs/inference/synth_flagship.yaml
+    diff_ckpt=/tmp/synth_dit_b_v4_ckpt) keep working after a scratch wipe.
+    Override the mirror root with $BEATHERITAGE_ARTIFACTS."""
+    import os  # noqa: PLC0415
+
+    directory = Path(directory)
+    if directory.exists():
+        return directory
+    roots = []
+    env_root = os.environ.get("BEATHERITAGE_ARTIFACTS")
+    if env_root:
+        roots.append(Path(env_root))
+    roots.append(Path(__file__).resolve().parents[2] / "artifacts")
+    for root in roots:
+        candidate = root / directory.name
+        if candidate.exists():
+            return candidate
+    return directory
+
+
 def save_params(directory, params) -> None:
     directory = Path(directory).resolve()
     directory.mkdir(parents=True, exist_ok=True)
@@ -24,7 +52,7 @@ def save_params(directory, params) -> None:
 
 
 def restore_params(directory, dims=None, template=None):
-    directory = Path(directory).resolve()
+    directory = resolve_ckpt_dir(directory).resolve()
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
             return ckptr.restore(directory / "params", template)
@@ -33,6 +61,11 @@ def restore_params(directory, dims=None, template=None):
         # the device recorded at save time (a CPU-saved checkpoint must
         # restore inside a TPU process and vice versa)
         if not (directory / "params").exists():
+            # durable mirrors may carry only the latest state_N (the full
+            # train state); pull just its params subtree
+            latest = latest_state_dir(directory)
+            if latest is not None:
+                return _restore_subtree(ckptr, latest, "params")
             raise FileNotFoundError(
                 f"no checkpoint at {directory / 'params'}")
         meta = ckptr.metadata(directory / "params").item_metadata
@@ -41,6 +74,29 @@ def restore_params(directory, dims=None, template=None):
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
             meta.tree)
         return ckptr.restore(directory / "params", abstract)
+
+
+def _restore_subtree(ckptr, state_dir: Path, key: str):
+    """Restore only `state[key]` from a saved train state, skipping the
+    other subtrees (opt_state can be 2x the params bytes) via orbax
+    PLACEHOLDER partial restore. PLACEHOLDER needs the PyTree handler;
+    StandardCheckpointer rejects it."""
+    meta = ckptr.metadata(state_dir).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    tree = meta.tree
+    if key not in tree:
+        raise FileNotFoundError(f"no '{key}' subtree in {state_dir}")
+    abstract = {
+        k: (jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=sharding), v)
+            if k == key else jax.tree.map(lambda _: ocp.PLACEHOLDER, v))
+        for k, v in tree.items()
+    }
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as tree_ckptr:
+        restored = tree_ckptr.restore(
+            state_dir, args=ocp.args.PyTreeRestore(item=abstract))
+    return restored[key]
 
 
 def save_train_state(directory, state, tokenizer=None) -> None:

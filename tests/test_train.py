@@ -154,6 +154,38 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     chex_assert_trees_equal(p2, params)
 
 
+def test_restore_params_from_state_only_mirror(setup, tmp_path):
+    """Durable mirrors may hold only the latest state_N (no top-level
+    params/); restore_params must pull the params subtree from it."""
+    import shutil
+    cfg, tok, dims, params = setup
+    from beatheritage_tpu.train.checkpoints import (
+        latest_state_dir, restore_params, save_train_state)
+    schedule = build_schedule(cfg.optim)
+    optimizer = build_optimizer(cfg.optim, schedule)
+    state = init_train_state(params, optimizer)
+    save_train_state(tmp_path, state, tok)
+    shutil.rmtree(tmp_path / "params")
+    assert latest_state_dir(tmp_path) is not None
+    p2 = restore_params(tmp_path)
+    chex_assert_trees_equal(p2, params)
+
+
+def test_resolve_ckpt_dir_artifact_fallback(tmp_path, monkeypatch):
+    """A missing scratch path (/tmp wiped by a VM restart) resolves to the
+    durable mirror artifacts/<basename> when one exists."""
+    from beatheritage_tpu.train.checkpoints import resolve_ckpt_dir
+    mirror_root = tmp_path / "mirrors"
+    (mirror_root / "some_ckpt").mkdir(parents=True)
+    monkeypatch.setenv("BEATHERITAGE_ARTIFACTS", str(mirror_root))
+    got = resolve_ckpt_dir("/tmp/definitely-not-there/some_ckpt")
+    assert got == mirror_root / "some_ckpt"
+    # an existing path wins over any mirror
+    live = tmp_path / "some_ckpt"
+    live.mkdir()
+    assert resolve_ckpt_dir(live) == live
+
+
 def chex_assert_trees_equal(a, b):
     import chex
     chex.assert_trees_all_close(a, b, atol=0)
