@@ -189,15 +189,19 @@ N_WINDOWS = int(os.environ.get("BENCH_N_WINDOWS", "24"))
 
 def child() -> None:
     # persistent compile cache: the remote-compile tunnel takes minutes for
-    # the decode loop; cache hits bring reruns down to seconds
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    # the decode loop; cache hits bring reruns down to seconds. Keep it in
+    # the home dir, NOT /tmp — VM restarts wipe /tmp (it cost round 4 its
+    # corpora and checkpoints) but preserve the home filesystem.
+    cache_dir = os.path.expanduser("~/.cache/beatheritage_tpu/xla_bench")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from beatheritage_tpu.config import TrainConfig, load_config
