@@ -84,3 +84,15 @@ def test_oom_failure_degrades_window_batch():
     assert bench._next_n_windows(8, "Out of memory allocating 1g") == 6
     assert bench._next_n_windows(24, "Unable to initialize backend") == 24
     assert bench._next_n_windows(24, "") == 24
+
+
+def test_bench_caches_live_outside_tmp():
+    """VM restarts wipe /tmp but preserve the home filesystem; both the
+    XLA persistent cache and the AOT executable cache must live in the
+    home dir so the driver's round-end bench stays warm across restarts
+    (round 4 lost its /tmp caches to two separate wipes)."""
+    src = open(BENCH).read()
+    assert '"/tmp/jax_bench_cache"' not in src
+    assert '~/.cache' in src
+    from beatheritage_tpu.decode.aot import default_cache_dir
+    assert not str(default_cache_dir()).startswith("/tmp/")
