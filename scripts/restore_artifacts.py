@@ -38,6 +38,14 @@ def main() -> int:
     for mirror in sorted(p for p in artifacts.iterdir() if p.is_dir()):
         dest = dest_root / mirror.name
         if dest.exists():
+            # backfill state_N dirs a params-only restore left out (a
+            # trainer resuming from scratch-without-state would silently
+            # restart from step 0)
+            if not args.params_only:
+                for state in sorted(mirror.glob("state_*")):
+                    if not (dest / state.name).exists():
+                        shutil.copytree(state, dest / state.name)
+                        print(f"backfilled {dest / state.name}")
             print(f"skip {dest} (exists)")
             continue
         ignore = (shutil.ignore_patterns("state_*")
