@@ -40,6 +40,12 @@ def resolve_ckpt_dir(directory) -> Path:
     for root in roots:
         candidate = root / directory.name
         if candidate.exists():
+            # basename-only match: be loud so a stale mirror from another
+            # experiment can't silently stand in for the configured path
+            import warnings  # noqa: PLC0415
+            warnings.warn(
+                f"checkpoint path {directory} is missing; using durable "
+                f"artifact mirror {candidate}", stacklevel=2)
             return candidate
     return directory
 
@@ -54,26 +60,47 @@ def save_params(directory, params) -> None:
 def restore_params(directory, dims=None, template=None):
     directory = resolve_ckpt_dir(directory).resolve()
     with ocp.StandardCheckpointer() as ckptr:
+        if not (directory / "params").exists():
+            # durable mirrors may carry only the latest state_N (the full
+            # train state); pull just its params subtree. Applies to both
+            # the template and template-free branches (a state-only mirror
+            # must work for apps/classify.py's template restore too).
+            latest = latest_state_dir(directory)
+            if latest is not None:
+                return _restore_state_params(ckptr, latest)
+            raise FileNotFoundError(
+                f"no checkpoint at {directory / 'params'}")
         if template is not None:
             return ckptr.restore(directory / "params", template)
         # template-free restore: rebuild an abstract tree from the stored
         # metadata so arrays land on the current default device instead of
         # the device recorded at save time (a CPU-saved checkpoint must
         # restore inside a TPU process and vice versa)
-        if not (directory / "params").exists():
-            # durable mirrors may carry only the latest state_N (the full
-            # train state); pull just its params subtree
-            latest = latest_state_dir(directory)
-            if latest is not None:
-                return _restore_subtree(ckptr, latest, "params")
-            raise FileNotFoundError(
-                f"no checkpoint at {directory / 'params'}")
         meta = ckptr.metadata(directory / "params").item_metadata
         sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
             meta.tree)
         return ckptr.restore(directory / "params", abstract)
+
+
+def _restore_state_params(ckptr, state_dir: Path):
+    """Restore the inference weights from a state_N dir, preserving the
+    layout the matching top-level params/ save would have had.
+
+    DiT train states carry EMA weights under 'ema'
+    (apps/train_diffusion.py save_state) and their params/ saves are
+    {'params', 'ema'} dicts — sampling must see the EMA weights
+    (reference: osu_diffusion train.py:32 update_ema). A state-only DiT
+    mirror must therefore restore BOTH subtrees, not silently hand back
+    the raw non-EMA params."""
+    meta = ckptr.metadata(state_dir).item_metadata
+    if "ema" in meta.tree:
+        return {
+            "params": _restore_subtree(ckptr, state_dir, "params"),
+            "ema": _restore_subtree(ckptr, state_dir, "ema"),
+        }
+    return _restore_subtree(ckptr, state_dir, "params")
 
 
 def _restore_subtree(ckptr, state_dir: Path, key: str):

@@ -47,15 +47,17 @@ def main() -> int:
                         shutil.copytree(state, dest / state.name)
                         print(f"backfilled {dest / state.name}")
             print(f"skip {dest} (exists)")
-            continue
-        ignore = (shutil.ignore_patterns("state_*")
-                  if args.params_only else None)
-        shutil.copytree(mirror, dest, ignore=ignore)
-        print(f"restored {mirror.name} -> {dest}")
+        else:
+            ignore = (shutil.ignore_patterns("state_*")
+                      if args.params_only else None)
+            shutil.copytree(mirror, dest, ignore=ignore)
+            print(f"restored {mirror.name} -> {dest}")
         if not (dest / "params").exists():
             # state-only mirror: materialize params/ for params-only loaders
             # (restore from the MIRROR — under --params-only the copy has
-            # no state_N dirs)
+            # no state_N dirs). Runs for pre-existing dests too: a prior run
+            # interrupted between copytree and this step must not leave the
+            # dest permanently params-less.
             import os  # noqa: PLC0415
             os.environ.setdefault("JAX_PLATFORMS", "cpu")
             from beatheritage_tpu.train.checkpoints import (  # noqa: PLC0415

@@ -171,6 +171,30 @@ def test_restore_params_from_state_only_mirror(setup, tmp_path):
     chex_assert_trees_equal(p2, params)
 
 
+def test_restore_params_state_only_mirror_keeps_ema(tmp_path):
+    """A state-only DiT mirror (state carries an 'ema' subtree, as
+    apps/train_diffusion.py saves) must restore {'params', 'ema'} like the
+    matching top-level params/ save would — sampling uses the EMA weights
+    (reference: osu_diffusion train.py:32 update_ema), and silently handing
+    back raw params would be a quiet quality regression."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from beatheritage_tpu.train.checkpoints import restore_params
+    params = {"w": jnp.arange(4.0)}
+    ema = {"w": jnp.arange(4.0) * 0.5}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(tmp_path.resolve() / "state_7",
+                   {"step": 7, "params": params, "ema": ema,
+                    "opt_state": {"mu": params}}, force=True)
+    tree = restore_params(tmp_path)
+    assert set(tree) == {"params", "ema"}
+    chex_assert_trees_equal(tree["params"], params)
+    chex_assert_trees_equal(tree["ema"], ema)
+    # the template branch must also survive a state-only mirror
+    p2 = restore_params(tmp_path, template={"w": jnp.zeros(4)})
+    chex_assert_trees_equal(p2["params"], params)
+
+
 def test_resolve_ckpt_dir_artifact_fallback(tmp_path, monkeypatch):
     """A missing scratch path (/tmp wiped by a VM restart) resolves to the
     durable mirror artifacts/<basename> when one exists."""
