@@ -97,15 +97,37 @@ class SuperTimingGenerator:
             verbose=verbose)
         t_decode = _time.monotonic() - t0
         t0 = _time.monotonic()
-        for audio_offset, result in zip(offsets, results):
-            events, _ = result[0]
+        passes = [(off, result[0][0]) for off, result in zip(offsets, results)]
+        out = self._vote_and_walk(passes, num_ms)
+        if profile:
+            import sys
+            n_win = sum(len(j["sequences"][0]) for j in jobs)
+            print(f"[timer-profile] decode={t_decode:.2f}s "
+                  f"host={_time.monotonic() - t0:.2f}s windows={n_win} "
+                  f"passes={self.iterations} "
+                  f"max_len={self.processor.max_len_override or self.processor.tgt_seq_len}",
+                  file=sys.stderr)
+        return out
+
+    def _vote_and_walk(self, passes, num_ms: int):
+        """Host-side half of generate(): histogram voting over the decoded
+        passes, peak finding, BPM assignment, and the beat walk. Split from
+        generate() so the voting logic can be exercised (and regression-
+        tested) offline on synthetic pass streams without a model."""
+        beats_hist = np.zeros(num_ms, int)
+        measures_hist = np.zeros(num_ms, int)
+        timing_points_hist = np.zeros(num_ms, int)
+        tpbs: list[tuple[int, int]] = []  # (time, ticks-per-beat) votes
+        measure_counts: list[tuple[int, int]] = []
+        for audio_offset, events in passes:
             self._accumulate_votes(events, audio_offset, num_ms, beats_hist,
                                    measures_hist, timing_points_hist, tpbs,
                                    measure_counts)
 
-        beats_hist = gaussian_filter1d(beats_hist.astype(float), 10) / self.iterations * 50
-        measures_hist = gaussian_filter1d(measures_hist.astype(float), 10) / self.iterations * 50
-        timing_points_hist = gaussian_filter1d(timing_points_hist.astype(float), 10) / self.iterations * 50
+        n_passes = max(len(passes), 1)
+        beats_hist = gaussian_filter1d(beats_hist.astype(float), 10) / n_passes * 50
+        measures_hist = gaussian_filter1d(measures_hist.astype(float), 10) / n_passes * 50
+        timing_points_hist = gaussian_filter1d(timing_points_hist.astype(float), 10) / n_passes * 50
         tpbs.sort(key=lambda x: x[0])
         if not tpbs:
             return [], []
@@ -125,21 +147,17 @@ class SuperTimingGenerator:
             peak_bpms = peak_bpms / np.ceil(peak_bpms / (median_bpm * 1.5))
             peak_bpms = peak_bpms * np.ceil((median_bpm / 1.5) / peak_bpms)
         peak_bpms = self._fill_missing_bpms(peak_bpms, median_bpm)
+        peak_bpms = self._refine_peak_bpms(peakind, peak_bpms)
 
         beat_times = self._walk_beats(peakind, prominences, peak_bpms,
                                       peak_bpms_defined, num_ms)
+        beat_times = self._rescue_orphan_peaks(peakind, prominences,
+                                               beat_times)
         beat_types = self._classify_beats(beat_times, beats_hist, measures_hist,
                                           timing_points_hist)
+        self._consolidate_redlines(beat_times, beat_types, timing_points_hist)
         self._repair_meter(beat_times, beat_types, measures_hist,
                            timing_points_hist, measure_counts)
-        if profile:
-            import sys
-            n_win = sum(len(j["sequences"][0]) for j in jobs)
-            print(f"[timer-profile] decode={t_decode:.2f}s "
-                  f"host={_time.monotonic() - t0:.2f}s windows={n_win} "
-                  f"passes={self.iterations} "
-                  f"max_len={self.processor.max_len_override or self.processor.tgt_seq_len}",
-                  file=sys.stderr)
         return self._to_events(beat_times, beat_types)
 
     # -- vote accumulation -------------------------------------------------------
@@ -220,6 +238,58 @@ class SuperTimingGenerator:
             np.searchsorted(defined, np.arange(n), side="right") - 1, 0)]
         return peak_bpms[src]
 
+    @staticmethod
+    def _refine_peak_bpms(peakind, peak_bpms, window_ms: float = 1500.0,
+                          rel_tol: float = 0.2):
+        """Sub-tick BPM refinement from smoothed-histogram peak positions.
+
+        The tpb votes quantize each beat interval to the 10 ms token grid,
+        so `_peak_bpms` can only express periods that are multiples of
+        10 ms — a true 183 BPM (327.9 ms) snaps to 330 ms = 181.8 BPM, a
+        systematic ~1 BPM error that survives into the final redline (the
+        set0192 failure in EVAL_TIMING_r04). The histogram PEAK positions,
+        however, are sub-10 ms accurate: each voting pass shifts the token
+        grid by a random integer-millisecond audio offset, so the smoothed
+        vote mass centers on the true beat time. Refit each peak's period
+        by least squares over nearby inter-peak gaps, using the coarse
+        period only to assign integer beat counts to the gaps.
+
+        Gaps that don't sit within `rel_tol` beats of an integer multiple
+        of the coarse period are dropped — this rejects neighbours across a
+        tempo change (their gaps don't fit the local grid) and spurious
+        non-beat peaks. The refined value is kept only when it stays within
+        half a vote tick of the coarse BPM (it is a REFINEMENT, not a
+        re-estimate; octave folding already happened upstream)."""
+        peakind = np.asarray(peakind, dtype=float)
+        refined = np.array(peak_bpms, dtype=float)
+        for i, bpm in enumerate(peak_bpms):
+            if not np.isfinite(bpm) or bpm <= 0:
+                continue
+            p0 = 60_000.0 / bpm
+            gaps = peakind - peakind[i]
+            near = np.flatnonzero((np.abs(gaps) <= window_ms) & (gaps != 0))
+            if near.size < 2:
+                continue
+            k = np.round(gaps[near] / p0)
+            ok = (k != 0) & (np.abs(gaps[near] / p0 - k) < rel_tol)
+            # a majority of nearby gaps must fit the grid: a p:q rational
+            # resonance (e.g. coarse at 2/3 of the true period) passes the
+            # per-gap filter only for multiples of q, a minority subset
+            # that is self-consistent and would survive any residual check
+            if np.count_nonzero(ok) < max(2, near.size / 2):
+                continue
+            kk, dd = k[ok], gaps[near][ok]
+            period = float(np.dot(kk, dd) / np.dot(kk, kk))
+            if period <= 0:
+                continue
+            new_bpm = 60_000.0 / period
+            # trust region: 1.5 vote ticks around the coarse period (the
+            # tpb-histogram mode itself can sit a full bin away from the
+            # true period when jitter splits the vote across two bins)
+            if abs(period - p0) < MILISECONDS_PER_STEP * 1.5:
+                refined[i] = new_bpm
+        return refined
+
     # -- beat walking -----------------------------------------------------------------
 
     def _walk_beats(self, peakind, prominences, peak_bpms, peak_bpms_defined,
@@ -269,6 +339,68 @@ class SuperTimingGenerator:
             walk(peak[0], period, 1)
             walk(peak[0], period, -1)
         return sorted(beat_times)
+
+    @staticmethod
+    def _rescue_orphan_peaks(peakind, prominences, beat_times) -> list[int]:
+        """Re-add strong vote peaks the walk never laid a beat on.
+
+        At a tempo change, BOTH neighbouring section walks stop short
+        ("different tempo nearby") and their ±200 ms guard bands can swallow
+        the strongest peak of all — the redline itself (seen live in the
+        set0192 failure: the true timing-point peak sat un-walked between
+        two stopped walks, and classification then promoted smeared
+        neighbours to TIMING_POINT). Any peak at least as prominent as the
+        local median that is > 60 ms from every walked beat is rescued;
+        60 ms keeps rescues off the walked grid up to 300+ BPM."""
+        if len(beat_times) == 0 or len(peakind) == 0:
+            return beat_times
+        bt = np.asarray(sorted(beat_times))
+        thresh = float(np.median(prominences))
+        out = list(beat_times)
+        for t, p in zip(peakind, prominences):
+            if p < thresh:
+                continue
+            j = np.searchsorted(bt, t)
+            near = min((abs(int(t) - int(bt[k]))
+                        for k in (j - 1, j) if 0 <= k < len(bt)), default=1e9)
+            if near > 60:
+                out.append(int(t))
+        return sorted(out)
+
+    @staticmethod
+    def _consolidate_redlines(beat_times, beat_types,
+                              timing_points_hist, window_ms: int = 500,
+                              w: int = 10) -> None:
+        """Collapse clusters of TIMING_POINT labels to the strongest vote.
+
+        The timing-point histogram smears around a true redline (model
+        jitter + window-boundary re-emissions), so classification can label
+        several consecutive beats TIMING_POINT; each spurious one splits a
+        BPM-solving section in the postprocessor and drags the redline BPM
+        off the true value. Within any run of TIMING_POINTs closer than
+        `window_ms` apart, only the one with the most timing-point vote
+        mass keeps the label. Genuinely adjacent redlines further apart
+        than `window_ms` (=500 ms, under one beat at <=120 BPM) survive."""
+        idx = [i for i, ty in enumerate(beat_types)
+               if ty is EventType.TIMING_POINT]
+        if len(idx) < 2:
+            return
+        cluster = [idx[0]]
+
+        def flush(cluster):
+            if len(cluster) > 1:
+                best = max(cluster, key=lambda i: timing_points_hist[
+                    max(beat_times[i] - w, 0):beat_times[i] + w].sum())
+                for i in cluster:
+                    if i != best:
+                        beat_types[i] = EventType.BEAT
+        for i in idx[1:]:
+            if beat_times[i] - beat_times[cluster[-1]] < window_ms:
+                cluster.append(i)
+            else:
+                flush(cluster)
+                cluster = [i]
+        flush(cluster)
 
     # -- classification and meter repair -------------------------------------------------
 

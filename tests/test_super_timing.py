@@ -66,6 +66,119 @@ def test_vote_accumulation_and_walk_logic():
     assert np.median(diffs) == pytest.approx(500, abs=25)
 
 
+def _make_stg(args, iterations=20):
+    stg = SuperTimingGenerator.__new__(SuperTimingGenerator)
+    stg.args = args
+    stg.types_first = True
+    stg.bpm_change_threshold = args.timer_bpm_threshold
+    stg.iterations = iterations
+    stg.sample_rate = 16000
+    stg.miliseconds_per_sequence = 4000.0
+    return stg
+
+
+def _synthetic_passes(sections, num_ms, iterations, seed=0):
+    """Simulate model voting passes for a variable-BPM song: beats on the
+    GT grid, quantized to the 10 ms token grid in each pass's shifted
+    frame, with autocorrelated model jitter, 15% dropped beats, and
+    spurious TIMING_POINT emissions at decode-window starts (the model
+    re-establishes timing context at each window)."""
+    import numpy as np
+    gt = []
+    for si, (start, bpm) in enumerate(sections):
+        end = sections[si + 1][0] if si + 1 < len(sections) else num_ms
+        period = 60000.0 / bpm
+        t, k = float(start), 0
+        while t < end - 1:
+            kind = (EventType.TIMING_POINT if k == 0
+                    else EventType.MEASURE if k % 4 == 0 else EventType.BEAT)
+            gt.append((t, kind))
+            t += period
+            k += 1
+    rng = np.random.default_rng(seed)
+    half = 22900 // 2
+    passes = []
+    for _ in range(iterations):
+        off = int(rng.integers(-half, half))
+        events, drift, seen = [], 0.0, set()
+        for t, kind in gt:
+            if rng.random() < 0.15:
+                continue
+            drift = 0.7 * drift + rng.normal(0, 6.0)
+            widx = int((t + off) // half)
+            if widx not in seen:
+                seen.add(widx)
+                if rng.random() < 0.5:
+                    kind = EventType.TIMING_POINT
+            q = round((t + off + drift) / 10) * 10
+            events.append(Event(kind))
+            events.append(Event(EventType.TIME_SHIFT, int(q)))
+        passes.append((off, events))
+    return passes
+
+
+def test_fractional_bpm_redlines_recovered_exactly():
+    """EVAL_TIMING_r04 set0192 regression: integer-BPM redlines whose beat
+    periods are NOT multiples of the 10 ms token grid must come back exact.
+    The tpb votes alone can't express 183 BPM (327.9 ms -> 330 ms = 181.8),
+    and the walk's guard bands used to swallow the tempo-change peak —
+    sub-tick peak refinement + orphan-peak rescue + redline consolidation
+    recover all three redlines with the right BPM and no spurious splits."""
+    args = load_config(InferenceConfig, "inference", "tiny", overrides=["seed=0"])
+    stg = _make_stg(args)
+    num_ms = 68400
+    sections = [(500, 183.0), (25000, 176.0), (48000, 191.0)]
+    passes = _synthetic_passes(sections, num_ms, stg.iterations)
+    events, _ = stg._vote_and_walk(passes, num_ms)
+
+    from beatheritage_tpu.inference.postprocessor import Postprocessor
+    timing = Postprocessor(args).generate_timing(events)
+    red = [(tp.offset, 60000.0 / tp.ms_per_beat)
+           for tp in timing if tp.uninherited]
+    assert len(red) == len(sections)
+    for t_gt, bpm_gt in sections:
+        t_i, bpm_i = min(red, key=lambda x: abs(x[0] - t_gt))
+        assert abs(t_i - t_gt) <= 50
+        assert abs(bpm_i - bpm_gt) <= 0.5, (t_gt, bpm_gt, t_i, bpm_i)
+
+
+def test_refine_peak_bpms_subtick():
+    """Least-squares over smoothed-peak positions must beat the 10 ms tpb
+    quantization: peaks laid at a 327.87 ms (=183 BPM) grid refine a coarse
+    330 ms (=181.8) estimate to within 0.1 BPM."""
+    import numpy as np
+    period = 60000.0 / 183.0
+    peakind = np.round(500 + np.arange(12) * period).astype(int)
+    coarse = np.full(len(peakind), 60000.0 / 330.0)
+    refined = SuperTimingGenerator._refine_peak_bpms(peakind, coarse)
+    assert np.all(np.abs(refined - 183.0) < 0.1)
+    # out-of-trust-region garbage is left at the coarse value
+    wild = np.full(len(peakind), 120.0)
+    kept = SuperTimingGenerator._refine_peak_bpms(peakind, wild)
+    assert np.all(kept == 120.0)
+
+
+def test_rescue_and_consolidation_helpers():
+    import numpy as np
+    # rescue: a prominent peak far from every walked beat is re-added
+    peakind = np.array([1000, 2000, 3000])
+    prom = np.array([1.0, 2.0, 1.0])
+    walked = [995, 3004]
+    out = SuperTimingGenerator._rescue_orphan_peaks(peakind, prom, walked)
+    assert 2000 in out and len(out) == 3
+    # consolidation: within a 500ms cluster only the strongest vote keeps
+    # the TIMING_POINT label
+    hist = np.zeros(5000)
+    hist[1998:2003] = 5.0
+    hist[2300:2302] = 1.0
+    times = [1700, 2000, 2300, 4000]
+    types = [EventType.TIMING_POINT, EventType.TIMING_POINT,
+             EventType.TIMING_POINT, EventType.TIMING_POINT]
+    SuperTimingGenerator._consolidate_redlines(times, types, hist)
+    assert types == [EventType.BEAT, EventType.TIMING_POINT,
+                     EventType.BEAT, EventType.TIMING_POINT]
+
+
 def test_generate_with_model_smoke(tmp_path):
     """Tiny-model integration: 2 voting iterations over 2s of audio."""
     args = load_config(InferenceConfig, "inference", "tiny", overrides=[
