@@ -449,6 +449,12 @@ class InferenceConfig:
     # 256 (vs tgt_seq_len 2048) cuts the per-step beam cache reorder and the
     # fixed_prompt_pad prefill ~8x (0 = uncapped)
     timer_max_len: int = 256
+    # batch width for the timer's voting passes: the capped decode program
+    # (timer_max_len KV rows) is ~8x smaller than the map-generation
+    # program, so it affords a much wider window batch than max_batch_size
+    # — fewer sequential device rounds for the ~100-window offset sweep
+    # (0 = inherit max_batch_size)
+    timer_max_batch_size: int = 64
     use_server: bool = False
     max_batch_size: int = 16
     resnap_events: bool = True

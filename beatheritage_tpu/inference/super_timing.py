@@ -43,6 +43,13 @@ class SuperTimingGenerator:
             # timing-only decodes are short; a capped program batches the
             # same windows with an 8x smaller KV cache + prefill
             self.processor.max_len_override = min(cap, self.processor.tgt_seq_len)
+            # ...which also affords a much wider window batch: the offset
+            # sweep flattens ~iterations x windows rows, and running them
+            # 64 at a time instead of 16 cuts the sequential device rounds
+            # 4x (the dominant super-timing latency after the r4 batching)
+            wide = int(getattr(args, "timer_max_batch_size", 0) or 0)
+            if wide > self.processor.max_batch_size:
+                self.processor.max_batch_size = wide
         if getattr(args, "warmup_windows", 0):
             # warm AFTER the beam/greedy overrides so the precompiled
             # programs match the timer's actual engine branch
