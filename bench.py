@@ -73,14 +73,21 @@ def _next_n_windows(n_windows: int, stderr: str) -> int:
     return n_windows
 
 
+def _default_n_windows() -> str:
+    """Largest window batch that fits the chip with the int8 KV cache
+    (r5 probes: 96 OK at 6455 tok/s, 192 OOMs in HLO temps). OOM on a
+    future regression degrades via _next_n_windows."""
+    return "96"
+
+
 def _diagnostic(reason: str, detail: dict) -> None:
     detail = dict(detail)
     detail["error"] = reason
     # context for the record: the last in-round measurement on this config
     detail.setdefault(
         "last_in_round_measurement",
-        {"file": "BENCH_PREVIEW_r04.json", "value": 0.7843,
-         "unit": "audio-min/s"})
+        {"file": "BENCH_PREVIEW_r05.json", "value": 1.7209,
+         "unit": "audio-min/s", "note": "96 windows, int8 KV"})
     print(json.dumps({
         "metric": "audio_min_mapped_per_sec_per_chip",
         "value": 0.0,
@@ -120,7 +127,7 @@ def main() -> int:
         env["JAX_PLATFORMS"] = "cpu"
         env["BENCH_PLATFORM_NOTE"] = "cpu-smoke"
 
-    n_windows = int(env.get("BENCH_N_WINDOWS", "24"))
+    n_windows = int(env.get("BENCH_N_WINDOWS", _default_n_windows()))
     for attempt in range(1, max_attempts + 1):
         env["BENCH_N_WINDOWS"] = str(n_windows)
         started = time.monotonic()
@@ -179,12 +186,13 @@ def main() -> int:
 # ---------------------------------------------------------------------------
 
 DECODE_BUDGET = 2048  # new tokens per window (representative density)
-# Batched-serving scenario: 4 songs x 6 parallel-mode windows in one engine
+# Batched-serving scenario: N/6 songs x 6 parallel-mode windows in one engine
 # call (the IPC server batches concurrent requests exactly like this).
-# Measured scaling on v5e: 6w=1421 tok/s, 12w=1608, 24w=1747 — sub-linear
-# because KV-cache reads grow with batch; single-song latency numbers live
-# in docs/ROUND_NOTES.md.
-N_WINDOWS = int(os.environ.get("BENCH_N_WINDOWS", "24"))
+# The int8 KV cache (decode_kv_quant, kv_cache.py) halves the dominant
+# per-step HBM read and lifts the single-chip envelope from 24 windows
+# (bf16 KV, 2942 tok/s) to 96 (6455 tok/s); 192 OOMs in HLO temps.
+# Measured r5 scaling on v5e with int8 KV: 48w=3807, 96w=6455 tok/s.
+N_WINDOWS = int(os.environ.get("BENCH_N_WINDOWS", "96"))
 
 
 def child() -> None:
@@ -197,6 +205,15 @@ def child() -> None:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
+
+    # BENCH_FORCE_CPU: the env-var route (JAX_PLATFORMS) is clobbered by
+    # this image's sitecustomize, which re-pins the axon platform in every
+    # process — pin through jax.config before the backend initializes
+    if os.environ.get("BENCH_PLATFORM_NOTE") == "cpu-smoke":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except (RuntimeError, AttributeError):
+            pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -241,7 +258,11 @@ def child() -> None:
     enc_fn = jax.jit(lambda p, a: encode(p, dims, cfg, a, dtype=jnp.bfloat16))
 
     unroll = os.environ.get("BENCH_UNROLL") == "1"
-    kv_quant = os.environ.get("BENCH_KV_QUANT") == "1"
+    # int8 KV cache with per-position scales: the shipped serving config
+    # (beatheritage_v1 preset decode_kv_quant; parity: tests/test_decode.py
+    # test_kv_quant_logits_close_and_generate_valid). BENCH_KV_QUANT=0 to
+    # A/B the bf16 path.
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "1") == "1"
 
     # serialize/reuse the compiled decode executable across processes: the
     # driver runs bench.py in a fresh process and the XLA persistent cache
@@ -274,7 +295,9 @@ def child() -> None:
         "unit": "audio-min/s",
         "vs_baseline": round(audio_min_per_sec / BASELINE_AUDIO_MIN_PER_SEC, 3),
         "detail": {
-            "scenario": "batched serving: 4 songs x 6 parallel windows",
+            "scenario": (f"batched serving: {N_WINDOWS // 6} songs x 6 "
+                         "parallel windows"),
+            "kv_cache": "int8" if kv_quant else "bf16",
             "platform": platform,
             "n_windows": N_WINDOWS,
             "window_seconds": round(window_seconds, 3),
