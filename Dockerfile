@@ -18,8 +18,13 @@ ENV BEATHERITAGE_CONFIG_DIR=/app/configs
 RUN pip install --no-cache-dir -e .[tpu,train] \
     && python -m beatheritage_tpu.native.build
 
-# persistent XLA compile cache across container restarts
+# persistent XLA compile cache across container restarts. Compiles cannot
+# run at image build (no TPU); warm the AOT executable cache once per
+# deployment so every later process starts cold-start-free:
+#   docker run ... beatheritage_tpu python -m beatheritage_tpu.apps.warmup \
+#       -cn beatheritage_v1 model_path=/models/flagship_ckpt
 ENV JAX_COMPILATION_CACHE_DIR=/cache/jax
+ENV BH_AOT_CACHE=/cache/aot
 VOLUME ["/cache", "/models", "/data"]
 
 EXPOSE 9727
